@@ -1,0 +1,155 @@
+"""Experiment/model-state API: the TPU-native `model_setup` equivalent.
+
+Mirrors the reference's mutable setup object (reference model_setup.py:18-119)
+so that experiment modules port 1:1: construct, set fields/toggles/ICs, call
+``solve()``.  Differences by design:
+
+  * no MPI communicator — device parallelism comes from jax.sharding at
+    solve time (shakti_tpu.parallel), not from the setup object;
+  * fields are plain numpy arrays during setup (host-side), frozen into
+    device pytrees by :meth:`freeze` when the solver starts;
+  * the RNG for stochastic initial conditions is seeded (the reference's
+    `np.random.normal` at setup_cooke2.py:66 is unseeded — SURVEY §4 flags
+    determinism as a gap we close).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from shakti_tpu.data.interp import GridInterpolator, subset_grid
+from shakti_tpu.mesh import geometry as geo
+from shakti_tpu.mesh.mesh import Mesh, build_mesh
+from shakti_tpu.params import DEFAULT_PARAMS, PhysicalParams
+from shakti_tpu.solve.newton import NewtonConfig
+from shakti_tpu.solve.timestep import State, StaticFields, make_static_fields
+
+
+def default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+class ModelSetup:
+    """Mutable experiment configuration (reference model_setup.py:18-66).
+
+    Construct with raw mesh arrays; mutate attributes; then ``solve()``.
+    """
+
+    def __init__(self, nodes: np.ndarray, cells: np.ndarray, *,
+                 params: PhysicalParams = DEFAULT_PARAMS, dtype=None):
+        self.nodes = np.asarray(nodes, dtype=np.float64)
+        self.cells = np.asarray(cells, dtype=np.int32)
+        self.x = self.nodes[:, 0]
+        self.y = self.nodes[:, 1]
+        self.params = params
+        self.dtype = dtype or default_dtype()
+
+        n = self.nodes.shape[0]
+        # bounding box w/ data buffer (reference model_setup.py:34-37,93-106)
+        buffer = self.get_buffer()
+        self.bounds = [self.x.min() - buffer, self.x.max() + buffer,
+                       self.y.min() - buffer, self.y.max() + buffer]
+
+        # BC options (reference model_setup.py:40-41)
+        self.outflow_on = True
+        self.storage_on = True
+        self.OutflowBoundary = None      # predicate (m,2)->bool
+
+        # physical input fields, nodal (reference model_setup.py:43-53)
+        self.z_b = np.zeros(n)
+        self.z_s = np.zeros(n)
+        self.G = np.zeros(n)
+        self.inputs = np.zeros(n)
+        self.b_init = np.zeros(n)
+        self.N_init = np.zeros(n)
+        self.q_init = np.zeros((n, 2))
+        self.melt_init = np.zeros(n)
+        self.lake_bdry = np.zeros(n)
+        self.N_bdry = 0.0
+        self.b_min = 1.0e-5
+
+        # lake outline: (k, 2) polygon array (NaN rows delimit multipolygons)
+        self.outline = None
+
+        # output names (reference model_setup.py:58-61)
+        self.lake_name = None
+        self.results_name = None
+        self.setup_name = None
+        self.setup_file = None           # path copied into results for provenance
+
+        # time stepping / IO cadence (reference model_setup.py:63-66)
+        self.timesteps = None
+        self.nt_save = None
+        self.nt_check = None
+
+        # solver configuration (new: the reference hardcodes PETSc defaults)
+        self.solver = NewtonConfig()
+
+    # ------------------------------------------------------------------ setup
+    def get_buffer(self) -> float:
+        """10x the max grid spacing in x/y (reference model_setup.py:93-106)."""
+        xs, ys = np.unique(self.x), np.unique(self.y)
+        bx = 10 * np.max(np.diff(xs)) if xs.size > 1 else 0.0
+        by = 10 * np.max(np.diff(ys)) if ys.size > 1 else 0.0
+        return max(bx, by)
+
+    def set_lake_bdry(self, outline: np.ndarray):
+        """Point-in-polygon lake indicator (reference model_setup.py:68-72,
+        vectorized — no per-node shapely loop)."""
+        self.outline = np.asarray(outline, dtype=np.float64)
+        self.lake_bdry = geo.points_in_polygon(self.nodes, self.outline).astype(np.float64)
+
+    def interp_data(self, var_name: str, x_d, y_d, f) -> GridInterpolator:
+        """Interpolate gridded data onto mesh nodes and store it on
+        ``self.<var_name>`` (reference model_setup.py:74-91).  Returns the
+        interpolator for reuse (outflow detection, setup_cooke2.py:72)."""
+        xs, ys, fs = subset_grid(np.asarray(x_d), np.asarray(y_d),
+                                 np.asarray(f), self.bounds)
+        itp = GridInterpolator(xs, ys, fs)
+        setattr(self, var_name, itp(self.x, self.y))
+        return itp
+
+    def add_moulin(self, xy, Q: float):
+        """Add a point moulin of discharge Q [m^3/s] at the node nearest to
+        ``xy``, as a lumped nodal source (the reference expresses moulins via
+        the distributed `inputs` field [m/s], model_setup.py:47; a point
+        source of rate Q corresponds to inputs = Q / (nodal lumped area))."""
+        k = int(np.argmin((self.x - xy[0]) ** 2 + (self.y - xy[1]) ** 2))
+        # lumped P1 nodal area = (sum of adjacent cell areas) / 3
+        from shakti_tpu.mesh.mesh import cell_geometry
+        sa, _ = cell_geometry(self.nodes, self.cells)
+        node_area = np.zeros(self.nodes.shape[0])
+        np.add.at(node_area, self.cells.reshape(-1), np.repeat(np.abs(sa), 3))
+        self.inputs[k] += Q / (node_area[k] / 3.0)
+        return k
+
+    # ----------------------------------------------------------------- freeze
+    def dirichlet_nodes(self) -> np.ndarray:
+        if not self.outflow_on or self.OutflowBoundary is None:
+            return np.zeros(0, dtype=np.int64)
+        return geo.locate_boundary_nodes(self.nodes, self.cells, self.OutflowBoundary)
+
+    def freeze(self):
+        """Build the immutable device-side problem:
+        (mesh, static_fields, initial_state, newton_config)."""
+        mesh = build_mesh(self.nodes, self.cells, dtype=self.dtype)
+        n = self.nodes.shape[0]
+        dmask = geo.dirichlet_mask(n, self.dirichlet_nodes())
+        storage = self.lake_bdry if self.storage_on else np.zeros(n)
+        static = make_static_fields(
+            mesh, self.z_b, self.z_s, self.G, self.inputs, storage,
+            dmask, self.N_bdry, self.b_min, self.params)
+        f = lambda a: jnp.asarray(a, dtype=self.dtype)
+        state0 = State(N=f(self.N_init), b=f(self.b_init),
+                       q=f(self.q_init), melt=f(self.melt_init))
+        cfg = self.solver.for_dtype(self.dtype)
+        return mesh, static, state0, cfg
+
+    # ------------------------------------------------------------------ solve
+    def solve(self, **kw):
+        """Run the transient problem and write results
+        (reference model_setup.py:118-119 delegating to solvers.solve)."""
+        from shakti_tpu.api.run import solve as _solve
+        return _solve(self, **kw)

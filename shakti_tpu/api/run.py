@@ -1,0 +1,161 @@
+"""Transient driver + results IO: the `solvers.solve(md)` equivalent.
+
+Reproduces the reference's run protocol (reference solvers.py:57-238):
+
+  * results directory must not pre-exist (solvers.py:91-102) — unless resuming;
+  * writes t.npy, nodes_x.npy, nodes_y.npy up front (solvers.py:119-121);
+  * copies the setup file into the results dir for provenance (:123-125);
+  * saves nodal N/b/qx/qy history rows after step i whenever
+    i % nt_save == 0 (:199-215), with rolling checkpoint writes of the
+    accumulated arrays every nt_check steps (:217-223) and a final write
+    (:231-236);
+  * aborts on Newton non-convergence (the reference's `assert converged`,
+    :179-180) — here raised host-side from the in-graph flag.
+
+TPU-shaped differences: steps run in `lax.scan` windows that end exactly at
+save events (1 device launch per save interval instead of per-step host
+chatter), per-step solver diagnostics are recorded to log.csv, and a real
+resume checkpoint is written alongside (shakti_tpu.io.checkpoint — the
+reference cannot resume, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import jax
+import numpy as np
+
+from shakti_tpu.io import checkpoint as ckpt
+from shakti_tpu.solve.timestep import make_step_fn, run_window, timestep_sizes
+
+
+class ConvergenceError(RuntimeError):
+    pass
+
+
+def _save_windows(nt: int, nt_save: int, start: int):
+    """Yield (start, length, save_after) covering steps [start, nt) with
+    windows ending at save events (i % nt_save == 0 saves AFTER step i)."""
+    i = start
+    while i < nt:
+        r = i % nt_save
+        nxt = i if r == 0 else i + (nt_save - r)
+        if nxt >= nt:
+            yield i, nt - i, False
+            return
+        yield i, nxt - i + 1, True
+        i = nxt + 1
+
+
+def solve(md, *, resume: bool = False, progress: bool = True):
+    """Run the transient problem defined by a ModelSetup.
+
+    Returns a dict with the final state, in-memory history arrays, and
+    aggregated diagnostics.  Writes the reference-compatible results
+    directory when ``md.results_name`` is set.
+    """
+    mesh, static, state, cfg = md.freeze()
+    timesteps = np.asarray(md.timesteps, dtype=np.float64)
+    nt = timesteps.size
+    nt_save = int(md.nt_save) if md.nt_save else 1
+    nt_check = int(md.nt_check) if md.nt_check else max(nt_save * 50, nt_save)
+    dts = timestep_sizes(timesteps, dtype=md.dtype)
+    n_saves = -(-nt // nt_save)          # saves at i = 0, nt_save, 2 nt_save, ...
+    n_nodes = mesh.n_nodes
+
+    io_on = md.results_name is not None
+    start_step, row = 0, 0
+
+    if io_on:
+        rdir = str(md.results_name)
+        loaded = ckpt.load_state(rdir, dtype=md.dtype) if resume else None
+        if loaded is not None:
+            state, start_step, row = loaded
+        else:
+            try:
+                os.makedirs(rdir, exist_ok=False)
+            except FileExistsError:
+                raise FileExistsError(
+                    f"Error: Directory '{rdir}' already exists.\n"
+                    "Choose another name in setup file or delete this directory.")
+        t_i = np.linspace(0, timesteps.max(), n_saves)
+        np.save(os.path.join(rdir, "t.npy"), t_i)
+        np.save(os.path.join(rdir, "nodes_x.npy"), md.x)
+        np.save(os.path.join(rdir, "nodes_y.npy"), md.y)
+        if md.setup_file and os.path.exists(str(md.setup_file)):
+            shutil.copy(str(md.setup_file),
+                        os.path.join(rdir, os.path.basename(str(md.setup_file))))
+
+    hist = {k: np.zeros((n_saves, n_nodes)) for k in ("N", "b", "qx", "qy")}
+    if io_on and start_step > 0:
+        for k in hist:
+            f = os.path.join(rdir, f"{k}.npy")
+            if os.path.exists(f):
+                old = np.load(f)
+                m = min(old.shape[0], n_saves)
+                hist[k][:m] = old[:m]
+
+    def write_histories():
+        for k in hist:
+            np.save(os.path.join(rdir, f"{k}.npy"), hist[k])
+
+    step_fn = make_step_fn(mesh, static, md.params, cfg)
+    runner = jax.jit(lambda s, d: run_window(step_fn, s, d))
+
+    log_rows = []
+    newton_total = cg_total = 0
+    t0 = time.time()
+    windows = list(_save_windows(nt, nt_save, start_step))
+    for w_idx, (i0, wlen, do_save) in enumerate(windows):
+        state, diags = runner(state, dts[i0:i0 + wlen])
+        conv = np.asarray(diags["converged"])
+        if not conv.all():
+            bad = i0 + int(np.argmin(conv))
+            if io_on:
+                write_histories()
+            raise ConvergenceError(
+                f"Newton failed to converge at time step {bad} "
+                f"(residual {float(np.asarray(diags['rnorm'])[bad - i0]):.3e})")
+        ni = np.asarray(diags["newton_iters"])
+        ci = np.asarray(diags["cg_iters"])
+        newton_total += int(ni.sum())
+        cg_total += int(ci.sum())
+        last = i0 + wlen - 1
+        if do_save:
+            hist["N"][row] = np.asarray(state.N)
+            hist["b"][row] = np.asarray(state.b)
+            hist["qx"][row] = np.asarray(state.q[:, 0])
+            hist["qy"][row] = np.asarray(state.q[:, 1])
+            log_rows.append((last, float(timesteps[last]), float(ni.mean()),
+                             int(ni.max()), float(ci.mean()),
+                             float(np.asarray(diags["rnorm"]).max())))
+            row += 1
+            if io_on and last % nt_check == 0:
+                write_histories()
+                ckpt.save_state(rdir, state, last + 1, row)
+        if progress and (w_idx + 1) % 10 == 0:
+            done = last + 1
+            print(f"Time step {done} of {nt} completed ({done / nt * 100:.1f}%)",
+                  end="\r", flush=True)
+
+    wall = time.time() - t0
+    if io_on:
+        write_histories()
+        ckpt.save_state(rdir, state, nt, row)
+        with open(os.path.join(rdir, "log.csv"), "w") as f:
+            f.write("step,t,newton_mean,newton_max,cg_mean,rnorm_max\n")
+            for r in log_rows:
+                f.write(",".join(str(v) for v in r) + "\n")
+
+    return {
+        "state": state,
+        "history": hist,
+        "t": np.linspace(0, timesteps.max(), n_saves),
+        "wall_time": wall,
+        "newton_iters_total": newton_total,
+        "cg_iters_total": cg_total,
+        "steps": nt - start_step,
+    }

@@ -1,0 +1,55 @@
+"""Command-line launcher (reference source/main.py equivalent).
+
+    python -m shakti_tpu <setup_module> [--resume]
+
+The reference's contract (main.py:8-21): import the named module from a
+``setups/`` directory, call ``initialize()`` to get a model object, then
+``md.solve()``.  We keep that contract minus MPI: a single process drives
+all local TPU devices through jax; multi-host launches use jax.distributed
+(see shakti_tpu.parallel) under the same entry point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import importlib.util
+import os
+import sys
+
+
+def load_setup(name: str):
+    """Import a setup module by name (searched in ./setups and CWD) or path."""
+    if name.endswith(".py") and os.path.exists(name):
+        spec = importlib.util.spec_from_file_location(
+            os.path.splitext(os.path.basename(name))[0], name)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    for d in (os.path.join(os.getcwd(), "setups"), os.getcwd()):
+        if os.path.exists(os.path.join(d, name + ".py")) and d not in sys.path:
+            sys.path.insert(0, d)
+    return importlib.import_module(name)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="shakti_tpu",
+                                 description="TPU-native SHAKTI subglacial hydrology")
+    ap.add_argument("setup", help="setup module name (in ./setups) or a .py path")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the checkpoint in the results directory")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    setup = load_setup(args.setup)
+    md = setup.initialize()
+    if md.setup_file is None and getattr(setup, "__file__", None):
+        md.setup_file = setup.__file__
+    out = md.solve(resume=args.resume, progress=not args.quiet)
+    print(f"\ncompleted {out['steps']} steps in {out['wall_time']:.2f} s "
+          f"({1e3 * out['wall_time'] / max(out['steps'], 1):.3f} ms/step)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

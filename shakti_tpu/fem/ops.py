@@ -1,0 +1,89 @@
+"""Core FEM data-movement primitives: gather, cellwise gradients, scatter-add,
+and cell->node averaging.
+
+These four operations replace the whole DOLFINx assembly/interpolation data
+path (SURVEY §2b) and are written so that XLA fuses them into the surrounding
+elementwise physics:
+
+  - gather_cells:      nodal -> per-cell-corner values        (HBM gather)
+  - cell_grad:         nodal -> cellwise-constant P1 gradient (gather + einsum)
+  - scatter_add_cells: per-cell-corner -> nodal accumulation  (segment_sum)
+  - *_to_node_avg:     cellwise quantities -> nodal values by area-weighted
+                       averaging over adjacent cells
+
+The averaging rule is this framework's deterministic replacement for DOLFINx
+Expression interpolation of cell-discontinuous quantities (which resolves
+shared nodes by cell visit order, reference solvers.py:143-165 + SURVEY §7
+"hard parts" #2): we take the |cell-area|-weighted mean over all adjacent
+cells.  Documented divergence: agrees with the reference to O(h).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_cells(mesh, f):
+    """(n_nodes, ...) -> (n_cells, 3, ...): values at each cell's corners."""
+    return f[mesh.cells]
+
+
+def cell_grad(mesh, f):
+    """Cellwise-constant gradient of a P1 nodal field.
+
+    f: (n_nodes,) -> (n_cells, 2);  f: (n_nodes, k) -> (n_cells, k, 2).
+    """
+    fc = f[mesh.cells]                      # (c, 3, ...)
+    if f.ndim == 1:
+        return jnp.einsum("ci,cid->cd", fc, mesh.grads)
+    return jnp.einsum("cik,cid->ckd", fc, mesh.grads)
+
+
+def scatter_add_cells(mesh, contrib):
+    """Accumulate per-cell-corner contributions into nodal arrays.
+
+    contrib: (n_cells, 3) or (n_cells, 3, k) -> (n_nodes,) / (n_nodes, k).
+    Padding cells carry zero contributions by construction (zero area).
+    """
+    flat_idx = mesh.cells.reshape(-1)
+    flat = contrib.reshape((-1,) + contrib.shape[2:])
+    return jax.ops.segment_sum(flat, flat_idx, num_segments=mesh.n_nodes)
+
+
+def cell_to_node_avg(mesh, fc):
+    """Area-weighted average of a cellwise-constant quantity at nodes.
+
+    fc: (n_cells,) or (n_cells, k) -> (n_nodes,) / (n_nodes, k).
+    """
+    w = mesh.area * mesh.cell_valid                        # (c,)
+    wf = fc * w if fc.ndim == 1 else fc * w[:, None]
+    contrib = jnp.broadcast_to(wf[:, None], (mesh.n_cells, 3) + wf.shape[1:])
+    s = scatter_add_cells(mesh, contrib)
+    na = mesh.node_area if fc.ndim == 1 else mesh.node_area[:, None]
+    return s / na
+
+
+def cellnodal_to_node_avg(mesh, v):
+    """Area-weighted average of per-(cell, corner) values at nodes.
+
+    v: (n_cells, 3) or (n_cells, 3, k) -> (n_nodes,) / (n_nodes, k).
+    Used when a quantity is P1-within-cell but discontinuous across cells
+    (e.g. the melt-regularization divergence term).
+    """
+    w = mesh.area * mesh.cell_valid
+    wv = v * w[:, None] if v.ndim == 2 else v * w[:, None, None]
+    s = scatter_add_cells(mesh, wv)
+    na = mesh.node_area if v.ndim == 2 else mesh.node_area[:, None]
+    return s / na
+
+
+def interpolate_at_quad(phi, fc):
+    """Evaluate P1 fields at quadrature points from corner values.
+
+    phi: (nq, 3) shape-function table; fc: (c, 3) or (c, 3, k)
+    -> (c, nq) or (c, nq, k).
+    """
+    if fc.ndim == 2:
+        return jnp.einsum("qi,ci->cq", phi, fc)
+    return jnp.einsum("qi,cik->cqk", phi, fc)

@@ -1,0 +1,114 @@
+"""Device-side mesh representation.
+
+TPU-native replacement for the DOLFINx C++ mesh/dofmap machinery the
+reference leans on (reference model_setup.py:26-31 builds `functionspace`
+objects; dofmaps/index maps come from DOLFINx C++).  For P1 elements on
+triangles the dof map *is* the cell connectivity, so the whole "function
+space" collapses to a frozen pytree of arrays:
+
+  - ``nodes``  (n_nodes, 2)  float   vertex coordinates
+  - ``cells``  (n_cells, 3)  int32   vertex indices per triangle
+  - derived static geometry: per-cell areas, constant P1 basis gradients,
+    and node incidence weights for cell->node averaging.
+
+Everything is static-shaped and lives in HBM; all hot-loop operations on it
+are pure gathers/segment-sums that XLA fuses into the timestep program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Mesh:
+    """Frozen triangle-mesh pytree (single-shard view).
+
+    All fields are jnp arrays so a Mesh can be closed over / passed through
+    jit, scan and shard_map without re-tracing hazards.
+    """
+
+    nodes: Any        # (n_nodes, 2) float: vertex coordinates
+    cells: Any        # (n_cells, 3) int32: vertex ids per triangle
+    area: Any         # (n_cells,) float: |triangle area|
+    grads: Any        # (n_cells, 3, 2) float: constant grad(phi_i) per cell
+    node_area: Any    # (n_nodes,) float: sum of adjacent cell areas
+    cell_valid: Any   # (n_cells,) float: 1.0 for real cells, 0.0 for padding
+
+    @property
+    def n_nodes(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def n_cells(self) -> int:
+        return self.cells.shape[0]
+
+
+def cell_geometry(nodes: np.ndarray, cells: np.ndarray):
+    """Per-cell signed area and constant P1 basis gradients (host-side numpy).
+
+    Replaces Basix/FFCx element tabulation (SURVEY §2b): for P1 triangles the
+    basis gradients are constant per cell:
+        grad(phi_0) = [y1 - y2, x2 - x1] / (2 A_signed), cyclic in (0,1,2).
+    """
+    p = nodes[cells]                       # (c, 3, 2)
+    d1 = p[:, 1] - p[:, 0]
+    d2 = p[:, 2] - p[:, 0]
+    signed_area = 0.5 * (d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0])   # (c,)
+    x, y = p[..., 0], p[..., 1]
+    # grad(phi_i) = perp(edge opposite node i) / (2A)
+    gx = np.stack([y[:, 1] - y[:, 2], y[:, 2] - y[:, 0], y[:, 0] - y[:, 1]], axis=1)
+    gy = np.stack([x[:, 2] - x[:, 1], x[:, 0] - x[:, 2], x[:, 1] - x[:, 0]], axis=1)
+    grads = np.stack([gx, gy], axis=-1) / (2.0 * signed_area)[:, None, None]
+    return signed_area, grads
+
+
+def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
+               n_cells_pad: int | None = None) -> Mesh:
+    """Construct a device Mesh from raw arrays (host-side preprocessing).
+
+    ``n_cells_pad`` optionally pads the cell list to a fixed size (degenerate
+    cells with zero weight) so partitioned shards share one static shape.
+    """
+    nodes = np.asarray(nodes, dtype=np.float64)
+    cells = np.asarray(cells, dtype=np.int32)
+    if cells.size and (cells.min() < 0 or cells.max() >= nodes.shape[0]):
+        raise ValueError("cell connectivity references nonexistent nodes")
+
+    signed_area, grads = cell_geometry(nodes, cells)
+    if np.any(signed_area == 0.0):
+        raise ValueError("mesh contains degenerate (zero-area) cells")
+    area = np.abs(signed_area)
+    valid = np.ones(cells.shape[0], dtype=np.float64)
+
+    if n_cells_pad is not None and n_cells_pad > cells.shape[0]:
+        extra = n_cells_pad - cells.shape[0]
+        # Padding cells reference node 0 with zero area/gradients and zero
+        # validity weight, so they contribute exactly nothing to assembly.
+        cells = np.concatenate([cells, np.zeros((extra, 3), np.int32)])
+        area = np.concatenate([area, np.zeros(extra)])
+        grads = np.concatenate([grads, np.zeros((extra, 3, 2))])
+        valid = np.concatenate([valid, np.zeros(extra)])
+
+    # node_area: sum of |A_c| over cells adjacent to each node -- the weights
+    # of the area-weighted cell->node averaging rule (see fem/ops.py).
+    node_area = np.zeros(nodes.shape[0])
+    np.add.at(node_area, cells.reshape(-1),
+              np.repeat(area * valid, 3))
+    # guard isolated nodes (possible on padded partitions)
+    node_area_safe = np.where(node_area == 0.0, 1.0, node_area)
+
+    return Mesh(
+        nodes=jnp.asarray(nodes, dtype=dtype),
+        cells=jnp.asarray(cells),
+        area=jnp.asarray(area, dtype=dtype),
+        grads=jnp.asarray(grads, dtype=dtype),
+        node_area=jnp.asarray(node_area_safe, dtype=dtype),
+        cell_valid=jnp.asarray(valid, dtype=dtype),
+    )

@@ -1,0 +1,173 @@
+r"""Weak-form residual of the effective-pressure equation, TPU-style.
+
+This module replaces the reference's UFL weak form + FFCx-generated C
+assembly kernels + PETSc vector assembly (reference solvers.py:34-51) with a
+single fused gather -> elementwise-physics -> segment-sum pipeline.
+
+The weak form being assembled (reference solvers.py:45):
+
+    F_i = \int [ -q_w(N) . grad(phi_i)
+                 + ( (1/rho_i - 1/rho_w) m(N) - C(N)
+                     - storage (N - N_n)/(rho_w g dt) - inputs ) phi_i ] dx
+
+with, inside the Newton solve (reference solvers.py:28-45):
+  * b, q (hence Re) and the lagged melt `melt_n` FROZEN at the previous step,
+  * head h(N) linear in N  =>  q_w linear in grad(N),
+  * the only genuine nonlinearities in N: the closure N|N|^2 and the
+    quadratic dissipation q . grad h(N).
+
+Everything frozen during the solve is precomputed once per timestep into a
+:class:`StepPre` pytree (values at quadrature points + cellwise gradients),
+so each Newton iteration touches the minimum possible data.  The Jacobian is
+never written by hand: element 3x3 blocks come from forward-mode AD
+(`jax.jvp`) of the per-cell residual — the JAX-native equivalent of UFL's
+``derivative(F, N)`` (reference solvers.py:51).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from shakti_tpu.fem import ops
+from shakti_tpu.fem.p1 import quadrature
+from shakti_tpu.params import PhysicalParams
+from shakti_tpu.physics import constitutive as law
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StepPre:
+    """Per-timestep data frozen during the Newton solve for N.
+
+    All *_q arrays are values at quadrature points, shape (n_cells, nq).
+    """
+
+    phi: Any        # (nq, 3) shape functions at quad points
+    wq: Any         # (nq,) quadrature weights (sum to 1)
+    gb0: Any        # (c, 2) background head gradient (from z_b, z_s)
+    Tq: Any         # (c, nq) transmissivity |b|^3 g / (12 nu (1 + omega Re))
+    q_q: Any        # (c, nq, 2) frozen water flux at quad points
+    b_q: Any        # (c, nq) frozen gap height
+    mdiff_q: Any    # (c, nq) frozen Warburton melt-regularization term
+    G_q: Any        # (c, nq) geothermal flux
+    inputs_q: Any   # (c, nq) moulin/distributed input
+    storage_q: Any  # (c, nq) lake-storage indicator
+    Nn_q: Any       # (c, nq) previous-step N
+    dt: Any         # scalar timestep
+
+
+def precompute_step(mesh, N_n, b, q, melt_n, static, dt, params: PhysicalParams,
+                    quad_degree: int = 4) -> StepPre:
+    """Build the frozen per-step data (reference freezes these by passing the
+    previous-step Functions into the form, solvers.py:28-45)."""
+    phi_np, wq_np = quadrature(quad_degree)
+    dtype = b.dtype
+    phi = jnp.asarray(phi_np, dtype=dtype)
+    wq = jnp.asarray(wq_np, dtype=dtype)
+
+    at_q = lambda f: ops.interpolate_at_quad(phi, ops.gather_cells(mesh, f))
+
+    b_q = at_q(b)
+    q_q = at_q(q)                                   # (c, nq, 2)
+    Re_q = law.reynolds(q_q, params)
+    Tq = law.transmissivity(b_q, Re_q, params)
+
+    melt_q = at_q(melt_n)
+    grad_b = ops.cell_grad(mesh, b)                 # (c, 2)
+    grad_melt = ops.cell_grad(mesh, melt_n)         # (c, 2)
+    mdiff_q = law.melt_regularization(
+        b_q, melt_q, grad_b[:, None, :], grad_melt[:, None, :])
+
+    return StepPre(
+        phi=phi, wq=wq,
+        gb0=static.gb0,
+        Tq=Tq, q_q=q_q, b_q=b_q, mdiff_q=mdiff_q,
+        G_q=at_q(static.G),
+        inputs_q=at_q(static.inputs),
+        storage_q=at_q(static.storage),
+        Nn_q=at_q(N_n),
+        dt=dt,
+    )
+
+
+def corner_residual(N_c, pre: StepPre, mesh, params: PhysicalParams):
+    """Element residual contributions F_ci, given corner values N_c (c, 3).
+
+    Each cell depends only on its own 3 corner values, so the assembled
+    Jacobian's element blocks are exactly d(corner_residual)/d(N_c).
+    """
+    p = params
+    grad_N = jnp.einsum("ci,cid->cd", N_c, mesh.grads)          # (c, 2)
+    grad_h = pre.gb0 - grad_N / (p.rho_w * p.g)                 # (c, 2)
+
+    # water flux at quad points: q_w = -T grad(h), T frozen
+    flux_q = -pre.Tq[:, :, None] * grad_h[:, None, :]           # (c, nq, 2)
+
+    # melt rate: dissipation uses FROZEN q dotted with the unknown's grad(h)
+    qdgh = jnp.einsum("cqd,cd->cq", pre.q_q, grad_h)
+    m_q = (pre.G_q - p.rho_w * p.g * qdgh) / p.Lh + pre.mdiff_q
+
+    N_q = jnp.einsum("qi,ci->cq", pre.phi, N_c)
+    C_q = law.closure(pre.b_q, N_q, p)
+    c_m = 1.0 / p.rho_i - 1.0 / p.rho_w
+    lake_q = pre.storage_q * (N_q - pre.Nn_q) / (p.rho_w * p.g * pre.dt)
+    src_q = c_m * m_q - C_q - lake_q - pre.inputs_q
+
+    w_cell = mesh.area * mesh.cell_valid                        # (c,)
+    term_flux = -jnp.einsum("q,cqd,cid->ci", pre.wq, flux_q, mesh.grads)
+    term_src = jnp.einsum("q,cq,qi->ci", pre.wq, src_q, pre.phi)
+    return w_cell[:, None] * (term_flux + term_src)
+
+
+def assemble_residual(N, pre: StepPre, mesh, params: PhysicalParams):
+    """Global residual vector F(N) (n_nodes,)."""
+    N_c = ops.gather_cells(mesh, N)
+    return ops.scatter_add_cells(mesh, corner_residual(N_c, pre, mesh, params))
+
+
+def element_jacobian(N, pre: StepPre, mesh, params: PhysicalParams):
+    """Element Jacobian blocks J_cij = dF_ci / dN_cj  (c, 3, 3) via jax.jvp.
+
+    Three forward-mode passes (one per corner) — the AD replacement for
+    UFL `derivative(F, N)` (reference solvers.py:51).
+    """
+    N_c = ops.gather_cells(mesh, N)
+    f = lambda x: corner_residual(x, pre, mesh, params)
+    cols = []
+    for j in range(3):
+        tangent = jnp.zeros_like(N_c).at[:, j].set(1.0)
+        _, col = jax.jvp(f, (N_c,), (tangent,))
+        cols.append(col)
+    return jnp.stack(cols, axis=-1)                             # (c, 3, 3)
+
+
+def jacobian_diag(J_c, mesh):
+    """Assembled Jacobian diagonal from element blocks (for Jacobi PC)."""
+    diag_c = jnp.diagonal(J_c, axis1=1, axis2=2)                # (c, 3)
+    return ops.scatter_add_cells(mesh, diag_c)
+
+
+def make_matvec(J_c, mesh, dirichlet):
+    """Matrix-free action of A = -J with symmetric Dirichlet elimination.
+
+    The Newton update solves J dN = -F; we hand CG the SPD-dominant operator
+    A = -J (see design notes: J = -(stiffness + closure/storage mass) + small
+    convection, so -J is symmetric-positive-definite up to the small
+    dissipation-convection term).  Constrained rows/cols are eliminated
+    symmetrically: A acts as identity on Dirichlet dofs, and inputs are
+    zeroed there first (valid because the Newton initial guess is projected
+    onto the boundary condition, so the constrained residual is 0 and the
+    constrained update is 0 — equivalent to DOLFINx's apply_lifting path,
+    reference solvers.py:24,51-54).
+    """
+    def matvec(x):
+        xf = jnp.where(dirichlet, 0.0, x)
+        xc = xf[mesh.cells]                                     # (c, 3)
+        yc = jnp.einsum("cij,cj->ci", J_c, xc)
+        y = -ops.scatter_add_cells(mesh, yc)
+        return jnp.where(dirichlet, x, y)
+    return matvec

@@ -1,0 +1,161 @@
+"""The fused SHAKTI timestep and time-integration loop.
+
+One timestep (reference solvers.py:168-229) becomes ONE pure function:
+
+    1. Newton-solve the nonlinear elliptic equation for N
+       (reference :179, with b, q, melt_n frozen),
+    2. q    <- water-flux law evaluated at nodes        (reference :186),
+    3. melt <- melt-rate expression at nodes            (reference :189),
+    4. b    <- forward-Euler gap evolution              (reference :192),
+    5. clamp b >= b_min                                 (reference :194-197),
+    6. N_n  <- N                                        (reference :227-229).
+
+The whole step — Newton loop, Krylov iterations, explicit updates — is one
+XLA program; `lax.scan` then runs `nt_save` steps per device launch with the
+save-snapshot emitted as a scan output.  This removes every per-step
+host/MPI round-trip the reference pays (SURVEY §3.3: ~dozens of collectives
+per step).
+
+Explicit-update semantics and sequencing mirror the reference exactly:
+q is updated first (using old Re), melt next (using NEW q), then b (using
+new q AND new melt in its melt term, old b elsewhere), because DOLFINx
+Expression objects referenced the live Function storage
+(reference solvers.py:143-165,185-192).  Cell-discontinuous quantities
+(grad h, the melt-regularization divergence) are brought to nodes by
+deterministic area-weighted averaging (fem/ops.py) instead of DOLFINx's
+cell-visit-order rule — the one documented numerical divergence (O(h)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from shakti_tpu.fem import ops
+from shakti_tpu.params import PhysicalParams
+from shakti_tpu.physics import constitutive as law
+from shakti_tpu.physics import residual as res
+from shakti_tpu.solve.newton import NewtonConfig, newton_solve
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class State:
+    """Time-marching state (all nodal): the reference's Functions
+    N, b, q, melt_n (solvers.py:128-156).  N doubles as N_n at step entry."""
+
+    N: Any      # (n,) effective pressure [Pa]
+    b: Any      # (n,) hydraulic gap height [m]
+    q: Any      # (n, 2) water flux [m^2/s]
+    melt: Any   # (n,) lagged melt rate [kg/(m^2 s)]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StaticFields:
+    """Time-independent nodal forcing + boundary data
+    (the reference's model_setup Functions, model_setup.py:43-53)."""
+
+    z_b: Any        # (n,) bed elevation [m]
+    z_s: Any        # (n,) surface elevation [m]
+    G: Any          # (n,) geothermal heat flux [W/m^2]
+    inputs: Any     # (n,) moulin/distributed input [m/s]
+    storage: Any    # (n,) lake indicator (0 when storage_on=False)
+    gb0: Any        # (c, 2) background head gradient per cell
+    dirichlet: Any  # (n,) bool outflow-Dirichlet mask (empty if outflow_on=False)
+    N_bdry: Any     # scalar Dirichlet value [Pa]
+    b_min: Any      # scalar gap-height floor [m]
+
+
+def make_static_fields(mesh, z_b, z_s, G, inputs, storage, dirichlet_mask,
+                       N_bdry, b_min, params: PhysicalParams) -> StaticFields:
+    gb0 = law.background_head_gradient(
+        ops.cell_grad(mesh, z_b), ops.cell_grad(mesh, z_s), params)
+    dtype = mesh.nodes.dtype
+    as_f = lambda x: jnp.asarray(x, dtype=dtype)
+    return StaticFields(
+        z_b=as_f(z_b), z_s=as_f(z_s), G=as_f(G), inputs=as_f(inputs),
+        storage=as_f(storage), gb0=gb0,
+        dirichlet=jnp.asarray(dirichlet_mask, dtype=bool),
+        N_bdry=as_f(N_bdry), b_min=as_f(b_min),
+    )
+
+
+def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
+                 cfg: NewtonConfig):
+    """Returns step(state, dt) -> (state, diagnostics)."""
+
+    p = params
+
+    def step(state: State, dt):
+        # ---- 1. implicit solve for N (b, q, melt frozen; N_n = state.N) ----
+        pre = res.precompute_step(mesh, state.N, state.b, state.q, state.melt,
+                                  static, dt, p, cfg.quad_degree)
+        N, stats = newton_solve(state.N, pre, mesh, static.dirichlet,
+                                static.N_bdry, p, cfg)
+
+        # ---- cellwise head gradient at the new N, averaged to nodes ----
+        grad_h_c = static.gb0 - ops.cell_grad(mesh, N) / (p.rho_w * p.g)
+        grad_h_n = ops.cell_to_node_avg(mesh, grad_h_c)          # (n, 2)
+
+        # ---- 2. q update: Re from OLD q (reference q_expr, solvers.py:143,186)
+        Re = law.reynolds(state.q, p)
+        q = law.water_flux(state.b, grad_h_n, Re, p)
+
+        # ---- 3. melt update: NEW q, OLD b, OLD melt in the regularization
+        #         (reference melt_n_expr, solvers.py:165,189)
+        m0 = law.melt_opening(q, grad_h_n, static.G, p)
+        grad_b_c = ops.cell_grad(mesh, state.b)                  # (c, 2)
+        b_cell = ops.gather_cells(mesh, state.b)                 # (c, 3)
+
+        def mdiff_at_nodes(melt_field):
+            melt_cell = ops.gather_cells(mesh, melt_field)
+            grad_m_c = ops.cell_grad(mesh, melt_field)
+            v = law.melt_regularization(
+                b_cell, melt_cell, grad_b_c[:, None, :], grad_m_c[:, None, :])
+            return ops.cellnodal_to_node_avg(mesh, v)            # (n,)
+
+        melt = m0 + mdiff_at_nodes(state.melt)
+
+        # ---- 4. b update: forward Euler with NEW q/melt, OLD b
+        #         (reference b_expr, solvers.py:162,192)
+        melt_for_b = m0 + mdiff_at_nodes(melt)
+        b = state.b + dt * (melt_for_b / p.rho_i - law.closure(state.b, N, p))
+
+        # ---- 5. clamp (reference solvers.py:194-197) ----
+        b = jnp.maximum(b, static.b_min)
+
+        new_state = State(N=N, b=b, q=q, melt=melt)
+        diag = {
+            "newton_iters": stats["iters"],
+            "rnorm": stats["rnorm"],
+            "rnorm0": stats["rnorm0"],
+            "converged": stats["converged"],
+            "cg_iters": stats["cg_iters"],
+        }
+        return new_state, diag
+
+    return step
+
+
+def run_window(step_fn, state: State, dts):
+    """Scan `len(dts)` steps; returns (state, stacked diagnostics)."""
+    def body(s, dt):
+        s, diag = step_fn(s, dt)
+        return s, diag
+    return jax.lax.scan(body, state, dts)
+
+
+def timestep_sizes(timesteps, dtype=None):
+    """Per-step dt array reproducing the reference's first-step quirk:
+    dt_0 = 0.1 |t_1 - t_0|, then dt_i = |t_i - t_{i-1}|
+    (reference solvers.py:81-82,174-176)."""
+    import numpy as np
+    t = np.asarray(timesteps, dtype=np.float64)
+    dts = np.empty(t.shape[0])
+    dts[0] = 0.1 * abs(t[1] - t[0])
+    dts[1:] = np.abs(np.diff(t))
+    return jnp.asarray(dts, dtype=dtype)

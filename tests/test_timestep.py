@@ -1,0 +1,88 @@
+"""Transient integration tests on the tilted-slab case: physical sanity,
+clamp semantics, determinism (SURVEY §4 consequence items 3, 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import setups.setup_slab as slab
+from shakti_tpu.solve.timestep import run_window, timestep_sizes, make_step_fn
+
+
+def run_slab(n_steps=30, **kw):
+    md = slab.initialize(nx=16, ny=16, days=5.0, nt_per_day=6, **kw)
+    mesh, static, state, cfg = md.freeze()
+    step = make_step_fn(mesh, static, md.params, cfg)
+    dts = timestep_sizes(md.timesteps, dtype=md.dtype)[:n_steps]
+    state, diags = jax.jit(lambda s, d: run_window(step, s, d))(state, dts)
+    return md, state, diags
+
+
+def test_slab_transient_converges_and_is_physical():
+    md, state, diags = run_slab()
+    assert bool(np.asarray(diags["converged"]).all())
+    # Newton should take only a few iterations (mildly nonlinear problem,
+    # matching the reference's typical 2-5, SURVEY §0)
+    assert float(np.asarray(diags["newton_iters"]).mean()) < 10
+    N = np.asarray(state.N)
+    b = np.asarray(state.b)
+    q = np.asarray(state.q)
+    assert np.all(np.isfinite(N)) and np.all(np.isfinite(b)) and np.all(np.isfinite(q))
+    # gap height respects the clamp (reference solvers.py:194-197)
+    assert b.min() >= md.b_min - 1e-15
+    # effective pressure stays positive on this geometry and honors the BC
+    dmask = np.zeros(md.x.size, dtype=bool)
+    dmask[md.dirichlet_nodes()] = True
+    np.testing.assert_allclose(N[dmask], md.N_bdry, rtol=1e-12)
+    # pressure builds inland of the outflow boundary (magnitudes bounded;
+    # N may dip negative near the moulin — water pressure above overburden)
+    assert N.max() > md.N_bdry
+    assert np.abs(N).max() < 1e8
+
+
+def test_first_step_dt_quirk():
+    # dt_0 = 0.1 |t1 - t0| (reference solvers.py:81-82,174-176)
+    t = np.array([0.0, 100.0, 200.0, 350.0])
+    dts = np.asarray(timestep_sizes(t))
+    np.testing.assert_allclose(dts, [10.0, 100.0, 100.0, 150.0])
+
+
+def test_determinism():
+    _, s1, _ = run_slab(n_steps=10)
+    _, s2, _ = run_slab(n_steps=10)
+    np.testing.assert_array_equal(np.asarray(s1.N), np.asarray(s2.N))
+    np.testing.assert_array_equal(np.asarray(s1.b), np.asarray(s2.b))
+
+
+def test_steady_state_boundary_layer_structure():
+    """Quantitative physical validation in the spirit of the reference's
+    far-field check (solution-plots.ipynb cell-13): on a moulin-free slab the
+    steady N field forms a boundary layer rising monotonically from the
+    outflow Dirichlet value to an interior creep/melt equilibrium plateau of
+    O(0.5 MPa)."""
+    md = slab.initialize(nx=16, ny=16, days=60.0, nt_per_day=6, moulin_Q=0.0)
+    mesh, static, state, cfg = md.freeze()
+    step = make_step_fn(mesh, static, md.params, cfg)
+    dts = timestep_sizes(md.timesteps, dtype=md.dtype)[:200]
+    state, diags = jax.jit(lambda s, d: run_window(step, s, d))(state, dts)
+    assert bool(np.asarray(diags["converged"]).all())
+    N = np.asarray(state.N).reshape(17, 17)
+    col = N.mean(axis=0)               # columns ordered by x
+    assert np.isclose(col[0], md.N_bdry, rtol=1e-10)   # BC column
+    assert np.all(np.diff(col[:5]) > 0)                # monotone boundary layer
+    assert 2e5 < col[6:].mean() < 3e6                  # physical plateau
+
+
+def test_scan_chunks_equal_single_steps():
+    """Stepping via one scan must equal stepping one-by-one (pure function)."""
+    md = slab.initialize(nx=8, ny=8, days=1.0, nt_per_day=4)
+    mesh, static, state, cfg = md.freeze()
+    step = make_step_fn(mesh, static, md.params, cfg)
+    dts = timestep_sizes(md.timesteps, dtype=md.dtype)[:4]
+    s_scan, _ = jax.jit(lambda s, d: run_window(step, s, d))(state, dts)
+    s_loop = state
+    jstep = jax.jit(step)
+    for k in range(4):
+        s_loop, _ = jstep(s_loop, dts[k])
+    np.testing.assert_allclose(np.asarray(s_scan.N), np.asarray(s_loop.N), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_scan.b), np.asarray(s_loop.b), rtol=1e-12)
