@@ -1,0 +1,114 @@
+"""Headline benchmark: time per transient step at reference scale.
+
+Reference baseline (BASELINE.md): the Cook_E2 production run — 12,268 nodes /
+24,101 triangles at 2 km resolution, 87,600 hourly steps — averaged
+52.9 ms/step on 8 MPI ranks (notebooks/example.ipynb cell-4: 77.17 min wall).
+
+This benchmark reproduces that problem shape (12,321 nodes / 24,200 cells at
+2 km spacing, lake storage + outflow BC + hourly steps) and measures the
+steady-state per-step wall time of the fused XLA timestep on the available
+accelerator, saves amortized at the reference's cadence (every 24 steps).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MS_PER_STEP = 52.9   # reference: 4630.2 s / 87,600 steps on 8 ranks
+
+
+def build_bench_model():
+    import jax.numpy as jnp
+
+    from shakti_tpu.api.model import ModelSetup
+    from shakti_tpu.mesh.generate import rectangle_mesh
+
+    # 110x110 quads -> 12,321 nodes / 24,200 triangles at 2 km spacing
+    nx = ny = 110
+    h = 2000.0
+    lx = ly = nx * h
+    nodes, cells = rectangle_mesh(nx, ny, lx, ly, jitter=0.25, seed=0)
+    md = ModelSetup(nodes, cells)
+
+    # Cook_E2-like configuration (reference setups/setup_cooke2.py):
+    # gentle bed slope, ~1 km ice, lake in the middle with storage term,
+    # outflow Dirichlet at the low-potential edge, hourly steps.
+    md.z_b = 0.005 * md.x - 100.0
+    md.z_s = md.z_b + 1000.0 + 0.002 * (md.x - lx / 2)
+    md.G = np.full(md.x.size, 0.06)
+    md.N_bdry = 3.7e5                      # setup_cooke2.py:29
+    md.OutflowBoundary = lambda p: p[:, 0] < 1e-6
+    # circular 'lake' outline, ~12 km radius at the domain center
+    th = np.linspace(0, 2 * np.pi, 128, endpoint=False)
+    md.set_lake_bdry(np.column_stack([lx / 2 + 12e3 * np.cos(th),
+                                      ly / 2 + 12e3 * np.sin(th)]))
+    md.storage_on = True
+    rng = np.random.default_rng(0)
+    md.b_init = np.maximum(0.001 + rng.normal(scale=0.0005, size=md.x.size), 1e-5)
+    md.N_init = np.full(md.x.size, md.N_bdry)
+    md.timesteps = np.linspace(0, 3.154e7 / 365 * 40, 40 * 24)  # 40 days hourly
+    md.nt_save = 24
+    return md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from shakti_tpu.solve.timestep import make_step_fn, run_window, timestep_sizes
+
+    md = build_bench_model()
+    mesh, static, state, cfg = md.freeze()
+    step = make_step_fn(mesh, static, md.params, cfg)
+    runner = jax.jit(lambda s, d: run_window(step, s, d))
+    dts = timestep_sizes(md.timesteps, dtype=md.dtype)
+
+    win = int(md.nt_save)
+    # warmup: compile + settle transients (first steps take extra Newton iters)
+    state, diag = runner(state, dts[:win])
+    jax.block_until_ready(state)
+    i = win
+    n_timed = 0
+    t0 = None
+    target_windows = 10
+    t_start = time.time()
+    snap = None
+    while n_timed < target_windows and i + win <= dts.shape[0]:
+        state, diag = runner(state, dts[i:i + win])
+        # history snapshot device->host, amortized like the reference's saves
+        snap = (np.asarray(state.N), np.asarray(state.b),
+                np.asarray(state.q))
+        if t0 is None:
+            t0 = time.time()       # first timed window starts after this one
+            t_first = t0
+        n_timed += 1
+        i += win
+    jax.block_until_ready(state)
+    t1 = time.time()
+
+    conv = bool(np.asarray(diag["converged"]).all())
+    steps_timed = (n_timed - 1) * win
+    ms_per_step = (t1 - t0) / max(steps_timed, 1) * 1e3
+
+    dev = jax.devices()[0]
+    result = {
+        "metric": "ms_per_step_cooke2_scale_12k_dof",
+        "value": round(ms_per_step, 4),
+        "unit": "ms/step",
+        "vs_baseline": round(BASELINE_MS_PER_STEP / ms_per_step, 3),
+    }
+    print(json.dumps(result))
+    print(f"# device={dev.platform}:{dev.device_kind} dtype={np.dtype(md.dtype).name} "
+          f"nodes={mesh.n_nodes} cells={mesh.n_cells} steps_timed={steps_timed} "
+          f"converged={conv} newton_mean={float(np.asarray(diag['newton_iters']).mean()):.2f} "
+          f"cg_mean={float(np.asarray(diag['cg_iters']).mean()):.1f}",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -20,8 +20,17 @@ cells.  Documented divergence: agrees with the reference to O(h).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+
+# All FEM contractions are tiny (contracting dims of 2-6) but numerically
+# load-bearing: on TPU, jnp.einsum's default precision routes through bf16
+# MXU passes, which destroys the Newton solve in float32 (observed: CG
+# returning garbage directions).  Pin everything to full-precision
+# accumulation; these shapes run on the VPU anyway, so this costs nothing.
+ein = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
 def gather_cells(mesh, f):
@@ -33,11 +42,19 @@ def cell_grad(mesh, f):
     """Cellwise-constant gradient of a P1 nodal field.
 
     f: (n_nodes,) -> (n_cells, 2);  f: (n_nodes, k) -> (n_cells, k, 2).
+
+    Corner values are mean-centered per cell before contracting with the
+    basis gradients.  Exact in real arithmetic (sum of P1 basis gradients is
+    zero), and essential in f32: fields like N carry absolute values ~1e6
+    whose within-cell variation is ~1e2-1e3, so gradients computed from raw
+    values lose ~4 digits to cancellation (SURVEY §7 hard part 1).
     """
     fc = f[mesh.cells]                      # (c, 3, ...)
     if f.ndim == 1:
-        return jnp.einsum("ci,cid->cd", fc, mesh.grads)
-    return jnp.einsum("cik,cid->ckd", fc, mesh.grads)
+        fc = fc - jnp.mean(fc, axis=1, keepdims=True)
+        return ein("ci,cid->cd", fc, mesh.grads)
+    fc = fc - jnp.mean(fc, axis=1, keepdims=True)
+    return ein("cik,cid->ckd", fc, mesh.grads)
 
 
 def scatter_add_cells(mesh, contrib):
@@ -48,7 +65,14 @@ def scatter_add_cells(mesh, contrib):
     """
     flat_idx = mesh.cells.reshape(-1)
     flat = contrib.reshape((-1,) + contrib.shape[2:])
-    return jax.ops.segment_sum(flat, flat_idx, num_segments=mesh.n_nodes)
+    out = jax.ops.segment_sum(flat, flat_idx, num_segments=mesh.n_nodes)
+    if mesh.paxis is not None:
+        # cross-device ghost accumulate: each shard holds a subset of cells
+        # referencing the replicated global node set; summing partial nodal
+        # contributions over the mesh axis completes assembly (the ICI
+        # equivalent of PETSc's ghost-to-owner accumulation, SURVEY §2d).
+        out = jax.lax.psum(out, mesh.paxis)
+    return out
 
 
 def cell_to_node_avg(mesh, fc):
@@ -85,5 +109,5 @@ def interpolate_at_quad(phi, fc):
     -> (c, nq) or (c, nq, k).
     """
     if fc.ndim == 2:
-        return jnp.einsum("qi,ci->cq", phi, fc)
-    return jnp.einsum("qi,cik->cqk", phi, fc)
+        return ein("qi,ci->cq", phi, fc)
+    return ein("qi,cik->cqk", phi, fc)

@@ -40,6 +40,16 @@ class Mesh:
     grads: Any        # (n_cells, 3, 2) float: constant grad(phi_i) per cell
     node_area: Any    # (n_nodes,) float: sum of adjacent cell areas
     cell_valid: Any   # (n_cells,) float: 1.0 for real cells, 0.0 for padding
+    # SPMD: when set, this Mesh is one shard of a cell-partitioned mesh
+    # inside shard_map; assembly reductions psum over this named axis
+    # (the explicit TPU analogue of DOLFINx's ghost accumulate, SURVEY §2d).
+    paxis: str | None = dataclasses.field(default=None,
+                                          metadata=dict(static=True))
+    # Optional ELL operator structure (fem/ell.py) for scatter-free Krylov
+    # matvecs; None on shard-local meshes (those use the cell-based path).
+    ell_cols: Any = None        # (n_nodes, K) int32 neighbor ids
+    ell_map: Any = None         # (9 * n_cells,) int32 element->slot mapping
+    ell_diag_slot: Any = None   # (n_nodes,) int32 diagonal slot per row
 
     @property
     def n_nodes(self) -> int:
@@ -70,7 +80,7 @@ def cell_geometry(nodes: np.ndarray, cells: np.ndarray):
 
 
 def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
-               n_cells_pad: int | None = None) -> Mesh:
+               n_cells_pad: int | None = None, build_ell: bool = True) -> Mesh:
     """Construct a device Mesh from raw arrays (host-side preprocessing).
 
     ``n_cells_pad`` optionally pads the cell list to a fixed size (degenerate
@@ -104,6 +114,14 @@ def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
     # guard isolated nodes (possible on padded partitions)
     node_area_safe = np.where(node_area == 0.0, 1.0, node_area)
 
+    ell_cols = ell_map = ell_diag_slot = None
+    if build_ell:
+        from shakti_tpu.fem.ell import build_ell_map
+        cols_np, map_np, diag_np = build_ell_map(cells, nodes.shape[0])
+        ell_cols = jnp.asarray(cols_np)
+        ell_map = jnp.asarray(map_np)
+        ell_diag_slot = jnp.asarray(diag_np)
+
     return Mesh(
         nodes=jnp.asarray(nodes, dtype=dtype),
         cells=jnp.asarray(cells),
@@ -111,4 +129,5 @@ def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
         grads=jnp.asarray(grads, dtype=dtype),
         node_area=jnp.asarray(node_area_safe, dtype=dtype),
         cell_valid=jnp.asarray(valid, dtype=dtype),
+        ell_cols=ell_cols, ell_map=ell_map, ell_diag_slot=ell_diag_slot,
     )

