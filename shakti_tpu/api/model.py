@@ -86,6 +86,11 @@ class ModelSetup:
 
         # solver configuration (new: the reference hardcodes PETSc defaults)
         self.solver = NewtonConfig()
+        # operator format: 'auto' = block-ELL (MXU SpMV) on TPU with RCB
+        # node reordering, scalar ELL elsewhere; or 'ell' / 'bell' / 'cells'
+        self.operator = "auto"
+        # set by freeze(): solver-order -> user-order permutation (or None)
+        self.node_iperm = None
 
     # ------------------------------------------------------------------ setup
     def get_buffer(self) -> float:
@@ -133,15 +138,41 @@ class ModelSetup:
 
     def freeze(self):
         """Build the immutable device-side problem:
-        (mesh, static_fields, initial_state, newton_config)."""
-        mesh = build_mesh(self.nodes, self.cells, dtype=self.dtype)
+        (mesh, static_fields, initial_state, newton_config).
+
+        On TPU ('auto') the nodes are renumbered by recursive coordinate
+        bisection and the operator is built in block-ELL form so Krylov
+        matvecs run on the MXU (fem/bell.py).  ``self.node_iperm`` is set to
+        the solver-order -> user-order permutation; the run layer uses it so
+        all outputs stay in the caller's original node order."""
+        op = self.operator
+        if op == "auto":
+            op = "bell" if jax.default_backend() == "tpu" else "ell"
+
         n = self.nodes.shape[0]
-        dmask = geo.dirichlet_mask(n, self.dirichlet_nodes())
+        nodes, cells = self.nodes, self.cells
+        perm = None
+        if op == "bell":
+            from shakti_tpu.parallel.partition import rcb_order
+            perm = rcb_order(nodes)
+            iperm = np.argsort(perm)
+            nodes = nodes[perm]
+            cells = iperm[cells].astype(np.int32)
+            self.node_iperm = iperm
+        else:
+            self.node_iperm = None
+        p = (lambda a: np.asarray(a)[perm]) if perm is not None else np.asarray
+
+        mesh = build_mesh(nodes, cells, dtype=self.dtype, operator=op)
+        dnodes = geo.locate_boundary_nodes(nodes, cells, self.OutflowBoundary) \
+            if (self.outflow_on and self.OutflowBoundary is not None) \
+            else np.zeros(0, dtype=np.int64)
+        dmask = geo.dirichlet_mask(n, dnodes)
         storage = self.lake_bdry if self.storage_on else np.zeros(n)
         static = make_static_fields(
-            mesh, self.z_b, self.z_s, self.G, self.inputs, storage,
-            dmask, self.N_bdry, self.b_min, self.params)
-        f = lambda a: jnp.asarray(a, dtype=self.dtype)
+            mesh, p(self.z_b), p(self.z_s), p(self.G), p(self.inputs),
+            p(storage), dmask, self.N_bdry, self.b_min, self.params)
+        f = lambda a: jnp.asarray(p(a), dtype=self.dtype)
         state0 = State(N=f(self.N_init), b=f(self.b_init),
                        q=f(self.q_init), melt=f(self.melt_init))
         cfg = self.solver.for_dtype(self.dtype)

@@ -125,10 +125,13 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         cg_total += int(ci.sum())
         last = i0 + wlen - 1
         if do_save:
-            hist["N"][row] = np.asarray(state.N)
-            hist["b"][row] = np.asarray(state.b)
-            hist["qx"][row] = np.asarray(state.q[:, 0])
-            hist["qy"][row] = np.asarray(state.q[:, 1])
+            # histories are written in the caller's original node order
+            # (freeze may renumber nodes for block locality)
+            unp = md.node_iperm if md.node_iperm is not None else slice(None)
+            hist["N"][row] = np.asarray(state.N)[unp]
+            hist["b"][row] = np.asarray(state.b)[unp]
+            hist["qx"][row] = np.asarray(state.q[:, 0])[unp]
+            hist["qy"][row] = np.asarray(state.q[:, 1])[unp]
             log_rows.append((last, float(timesteps[last]), float(ni.mean()),
                              int(ni.max()), float(ci.mean()),
                              float(np.asarray(diags["rnorm"]).max())))

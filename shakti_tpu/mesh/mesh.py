@@ -50,6 +50,12 @@ class Mesh:
     ell_cols: Any = None        # (n_nodes, K) int32 neighbor ids
     ell_map: Any = None         # (9 * n_cells,) int32 element->slot mapping
     ell_diag_slot: Any = None   # (n_nodes,) int32 diagonal slot per row
+    # Optional block-ELL structure (fem/bell.py): MXU-friendly SpMV.
+    bell_nbr: Any = None        # (NB, KB) int32 neighbor block ids
+    bell_map: Any = None        # (9 * n_cells,) element->flat slot mapping
+    bell_diag_pos: Any = None   # (n_nodes,) flat diagonal positions
+    bell_B: int | None = dataclasses.field(default=None,
+                                           metadata=dict(static=True))
 
     @property
     def n_nodes(self) -> int:
@@ -80,7 +86,8 @@ def cell_geometry(nodes: np.ndarray, cells: np.ndarray):
 
 
 def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
-               n_cells_pad: int | None = None, build_ell: bool = True) -> Mesh:
+               n_cells_pad: int | None = None, build_ell: bool = True,
+               operator: str = "ell", bell_block: int = 128) -> Mesh:
     """Construct a device Mesh from raw arrays (host-side preprocessing).
 
     ``n_cells_pad`` optionally pads the cell list to a fixed size (degenerate
@@ -114,13 +121,25 @@ def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
     # guard isolated nodes (possible on padded partitions)
     node_area_safe = np.where(node_area == 0.0, 1.0, node_area)
 
+    if not build_ell:
+        operator = "none"
     ell_cols = ell_map = ell_diag_slot = None
-    if build_ell:
+    bell_nbr = bell_map = bell_diag_pos = None
+    bell_B = None
+    if operator in ("ell", "both"):
         from shakti_tpu.fem.ell import build_ell_map
         cols_np, map_np, diag_np = build_ell_map(cells, nodes.shape[0])
         ell_cols = jnp.asarray(cols_np)
         ell_map = jnp.asarray(map_np)
         ell_diag_slot = jnp.asarray(diag_np)
+    if operator in ("bell", "both"):
+        from shakti_tpu.fem.bell import build_block_ell
+        nbr_np, bmap_np, dpos_np, _ = build_block_ell(cells, nodes.shape[0],
+                                                      bell_block)
+        bell_nbr = jnp.asarray(nbr_np)
+        bell_map = jnp.asarray(bmap_np)
+        bell_diag_pos = jnp.asarray(dpos_np)
+        bell_B = bell_block
 
     return Mesh(
         nodes=jnp.asarray(nodes, dtype=dtype),
@@ -130,4 +149,6 @@ def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
         node_area=jnp.asarray(node_area_safe, dtype=dtype),
         cell_valid=jnp.asarray(valid, dtype=dtype),
         ell_cols=ell_cols, ell_map=ell_map, ell_diag_slot=ell_diag_slot,
+        bell_nbr=bell_nbr, bell_map=bell_map, bell_diag_pos=bell_diag_pos,
+        bell_B=bell_B,
     )

@@ -35,6 +35,30 @@ def rcb_partition(points: np.ndarray, n_parts: int) -> np.ndarray:
     return part
 
 
+def rcb_order(points: np.ndarray, leaf: int = 32) -> np.ndarray:
+    """Spatial ordering by recursive coordinate bisection: a permutation that
+    makes spatially-close points contiguous.  Used to renumber mesh nodes so
+    fixed-size node blocks (block-ELL operator, fem/bell.py) are compact —
+    compact blocks minimize the block-sparsity fill and hence the MXU SpMV's
+    memory traffic."""
+    points = np.asarray(points, dtype=np.float64)
+    out = []
+
+    def rec(idx):
+        if idx.size <= leaf:
+            out.append(idx)
+            return
+        pts = points[idx]
+        axis = int(np.argmax(pts.max(axis=0) - pts.min(axis=0)))
+        order = np.argsort(pts[:, axis], kind="stable")
+        h = idx.size // 2
+        rec(idx[order[:h]])
+        rec(idx[order[h:]])
+
+    rec(np.arange(points.shape[0]))
+    return np.concatenate(out)
+
+
 def partition_cells(nodes: np.ndarray, cells: np.ndarray, n_parts: int):
     """Partition cells by RCB on centroids.
 

@@ -201,6 +201,21 @@ def make_operator(J_c, mesh, dirichlet):
     Shard-local meshes (parallel/shard.py) fall back to the cell-based
     matvec + psum path.
     """
+    if mesh.bell_nbr is not None:
+        from shakti_tpu.fem import bell as bellm
+        NB, KB = mesh.bell_nbr.shape
+        B = mesh.bell_B
+        vals = -bellm.bell_from_elements(J_c, mesh.bell_map, NB, KB, B)
+        a_diag = bellm.bell_diag(vals, mesh.bell_diag_pos)
+        n = mesh.n_nodes
+
+        def matvec(x):
+            xf = jnp.where(dirichlet, 0.0, x)
+            y = bellm.bell_matvec(vals, mesh.bell_nbr, xf, n)
+            return jnp.where(dirichlet, x, y)
+
+        return matvec, a_diag
+
     if mesh.ell_cols is not None:
         from shakti_tpu.fem import ell as ellm
         n, K = mesh.ell_cols.shape
