@@ -1,0 +1,54 @@
+"""Thin netCDF grid-reading adapters (optional dependency: netCDF4).
+
+The reference reads three Antarctic datasets directly in its setup module
+(reference setups/setup_cooke2.py:39-62: BedMachine bed, ICESat-2 ATL14
+surface, AQ1 geothermal flux).  These helpers reproduce those access
+patterns as small functions returning plain (x, y, field) numpy arrays with
+ascending-y orientation, keeping the heavy dependency optional and out of
+the core framework (SURVEY §2b last row: data adapters live at the edge).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def read_grid(path: str, var: str, xvar: str = "x", yvar: str = "y",
+              flip_y: str = "auto"):
+    """Read (x, y, f) from a netCDF file; ensures ascending x and y.
+
+    ``flip_y='auto'`` flips rows when the y axis is descending (BedMachine's
+    convention — reference setup_cooke2.py:40-42 does np.flipud by hand).
+    """
+    from netCDF4 import Dataset  # optional dependency
+
+    ds = Dataset(path)
+    try:
+        f = np.asarray(ds[var][:]).astype(np.float64)
+        if hasattr(ds[var][:], "filled"):
+            f = ds[var][:].filled().astype(np.float64)
+        x = np.asarray(ds[xvar][:]).astype(np.float64)
+        y = np.asarray(ds[yvar][:]).astype(np.float64)
+    finally:
+        ds.close()
+    if x.size >= 2 and x[1] < x[0]:
+        x, f = x[::-1], f[:, ::-1]
+    if flip_y == "auto" and y.size >= 2 and y[1] < y[0]:
+        y, f = y[::-1], np.flipud(f)
+    return x, y, f
+
+
+def read_bedmachine(path: str):
+    """BedMachine Antarctica bed elevation (reference setup_cooke2.py:39-44)."""
+    return read_grid(path, "bed")
+
+
+def read_atl14(path: str):
+    """ICESat-2 ATL14 surface height (reference setup_cooke2.py:48-53)."""
+    return read_grid(path, "h")
+
+
+def read_aq1(path: str):
+    """AQ1 geothermal heat flux (reference setup_cooke2.py:57-62).
+    AQ1 stores mW/m^2 in 'Q' on axes 'X'/'Y'."""
+    return read_grid(path, "Q", xvar="X", yvar="Y")

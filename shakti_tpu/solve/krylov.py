@@ -27,14 +27,15 @@ def pcg(matvec, b, minv=None, x0=None, *, rtol=1e-8, atol=0.0, maxiter=1000):
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    if minv is None:
-        minv = jnp.ones_like(b)
+    # ``minv`` may be a diagonal (vector) or a callable preconditioner apply
+    apply_pc = minv if callable(minv) else (
+        (lambda r: r) if minv is None else (lambda r: minv * r))
 
     bnorm = jnp.linalg.norm(b)
     tol = jnp.maximum(rtol * bnorm, atol)
 
     r0 = b - matvec(x0)
-    z0 = minv * r0
+    z0 = apply_pc(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
 
@@ -49,7 +50,7 @@ def pcg(matvec, b, minv=None, x0=None, *, rtol=1e-8, atol=0.0, maxiter=1000):
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = minv * r
+        z = apply_pc(r)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         p = z + beta * p
@@ -64,8 +65,8 @@ def bicgstab(matvec, b, minv=None, x0=None, *, rtol=1e-8, atol=0.0, maxiter=1000
     """Preconditioned BiCGStab (right-preconditioned with diagonal minv)."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    if minv is None:
-        minv = jnp.ones_like(b)
+    apply_pc = minv if callable(minv) else (
+        (lambda r: r) if minv is None else (lambda r: minv * r))
 
     bnorm = jnp.linalg.norm(b)
     tol = jnp.maximum(rtol * bnorm, atol)
@@ -83,12 +84,12 @@ def bicgstab(matvec, b, minv=None, x0=None, *, rtol=1e-8, atol=0.0, maxiter=1000
         beta = (rho_new / jnp.where(rho == 0, 1.0, rho)) * (
             alpha / jnp.where(omega == 0, 1.0, omega))
         p = r + beta * (p - omega * v)
-        phat = minv * p
+        phat = apply_pc(p)
         v = matvec(phat)
         denom = jnp.vdot(rhat, v)
         alpha = rho_new / jnp.where(denom == 0, 1.0, denom)
         s_vec = r - alpha * v
-        shat = minv * s_vec
+        shat = apply_pc(s_vec)
         t = matvec(shat)
         tt = jnp.vdot(t, t)
         omega = jnp.vdot(t, s_vec) / jnp.where(tt == 0, 1.0, tt)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from shakti_tpu.physics import residual as res
 from shakti_tpu.solve import krylov
+from shakti_tpu.solve.precond import make_preconditioner
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,14 +44,37 @@ class NewtonConfig:
     lin_maxiter: int = 2000     # Krylov iteration cap
     krylov: str = "cg"          # 'cg' or 'bicgstab'
     quad_degree: int = 4        # quadrature rule (see fem/p1.py)
-    # Stagnation handling: when the residual stops improving (floating-point
-    # floor reached — the dominant regime in f32), exit and accept the solve
-    # if the residual fell by at least 1/stall_rtol relative to the start.
-    # PETSc/DOLFINx have no analogue because f64 rarely floors; on TPU f32
-    # this is what makes long transients robust (SURVEY §7 hard part 1).
-    stall_rtol: float = 1e-6    # acceptance threshold on ||r||/||r0|| at stall
-    stall_factor: float = 0.5   # 'no progress' = rnorm > factor * prev rnorm
-    stall_patience: int = 2     # consecutive no-progress iterations to exit
+    precond: str = "two_level"  # 'jacobi' or 'two_level' (solve/precond.py)
+    coarse_block: int = 64      # aggregate size for the two-level coarse grid
+    # Jacobian diagonal floor (relative to the max diagonal): where the gap
+    # height is clamped at b_min and closure is negligible, the N-equation
+    # degenerates (near-zero matrix row — N locally undetermined) and both
+    # Krylov and Jacobi blow up on the ~1e-11-scale rows.  Flooring the
+    # operator diagonal regularizes those nodes (their update -> 0, which is
+    # the physical choice); the residual stays exact, so the converged
+    # solution is unbiased (inexact-Newton argument).
+    diag_floor_rel: float = 1e-10
+    # multiplier on the residual-sensitivity floor used as absolute tolerance
+    # (accuracy/cost knob: larger = earlier exits near steady state)
+    floor_mult: float = 1.0
+    # Stagnation handling: when the residual stops improving, exit and accept
+    # the solve if the residual fell by at least 1/stall_rtol relative to the
+    # start.  Two distinct regimes hit this: (a) the floating-point residual
+    # floor (dominant in f32), and (b) genuine Newton limit cycles in
+    # collapsed-sheet (b = b_min) regions, where the N-equation degenerates —
+    # measured: even exact-LU plain Newton (the reference's configuration)
+    # cycles at ~1e-5 relative there, so demanding 1e-9 would abort runs the
+    # physics has already converged.  The best iterate seen is returned.
+    stall_rtol: float = 1e-4    # acceptance threshold on ||r||/||r0|| at stall
+    stall_factor: float = 0.9   # progress = rnorm < factor * best rnorm so far
+    stall_patience: int = 4     # iterations without progress before exiting
+    # Lazy backtracking line search: the full Newton step is taken whenever
+    # it sufficiently reduces the residual (the common case — zero extra
+    # cost); otherwise the step is halved up to ls_backtracks times.  The
+    # reference's PETSc NewtonSolver runs undamped and occasionally relies
+    # on small dt for stability; damping makes large-dt and rough-b regimes
+    # robust.  0 disables (plain Newton).
+    ls_backtracks: int = 4
     # Increment criterion: accept when the Newton update becomes negligible,
     # ||dN|| <= inc_rtol * ||N||.  The residual norm in f32 floors at
     # evaluation noise (eps * |N| propagated through the form) long before
@@ -91,52 +115,96 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
     r0 = resid(N0)
     rnorm0 = jnp.linalg.norm(r0)
     tiny = jnp.asarray(jnp.finfo(N0.dtype).tiny, N0.dtype)
-    # dtype-aware absolute floor: residuals below ~the roundoff of the
-    # element contributions cannot be resolved, only chased
-    floor = res.residual_roundoff_floor(N0, pre, mesh, params)
-    atol_eff = jnp.maximum(jnp.asarray(cfg.atol, N0.dtype), 10.0 * floor)
+    eps = jnp.asarray(jnp.finfo(N0.dtype).eps, N0.dtype)
+    # dtype-aware absolute floor: (a) roundoff of the element contributions,
+    # (b) residual sensitivity to perturbing N at its own representational
+    # resolution — residual norms below ||r(N + eps|N|) - r(N)|| cannot be
+    # meaningfully reduced by any representable N update (the dominant floor
+    # in f32, where N ~ 1e6 Pa has ~0.1 Pa resolution)
+    floor_a = res.residual_roundoff_floor(N0, pre, mesh, params)
+    sign = jnp.where(jnp.arange(N0.shape[0]) % 2 == 0, 1.0, -1.0).astype(N0.dtype)
+    r_pert = resid(N0 + eps * jnp.abs(N0) * sign)
+    floor_b = jnp.linalg.norm(r_pert - r0)
+    atol_eff = jnp.maximum(jnp.asarray(cfg.atol, N0.dtype),
+                           jnp.maximum(10.0 * floor_a,
+                                       cfg.floor_mult * floor_b))
 
     def converged_fn(rnorm):
         return (rnorm < atol_eff) | (rnorm <= cfg.rtol * jnp.maximum(rnorm0, tiny))
 
     def cond(s):
-        N, r, rnorm, stall, k, cg_total, bad, done = s
+        N, r, rnorm, N_best, rn_best, stall, k, cg_total, bad, done = s
         return ((~done) & (k < cfg.max_iter) & (~bad)
                 & (stall < cfg.stall_patience))
 
     def body(s):
-        N, r, rnorm, stall, k, cg_total, bad, done = s
+        N, r, rnorm, N_best, rn_best, stall, k, cg_total, bad, done = s
         J_c = res.element_jacobian(N, pre, mesh, params)
-        matvec, a_diag = res.make_operator(J_c, mesh, dirichlet)
-        safe = jnp.where(jnp.abs(a_diag) < tiny, 1.0, a_diag)
-        minv = jnp.where(dirichlet, 1.0, 1.0 / safe)
+        matvec0, a_diag = res.make_operator(J_c, mesh, dirichlet)
+        # regularize degenerate (clamped-sheet) rows: see diag_floor_rel
+        dmax = jnp.max(jnp.where(dirichlet, 0.0, jnp.abs(a_diag)))
+        extra = jnp.where(dirichlet, 0.0,
+                          jnp.maximum(0.0, cfg.diag_floor_rel * dmax - a_diag))
+        matvec = lambda x: matvec0(x) + extra * x
+        a_diag = a_diag + extra
+        minv = make_preconditioner(cfg.precond, J_c, mesh, dirichlet, a_diag,
+                                   cfg.coarse_block)
         rhs = r                                             # A dN = F (r == masked F)
         dN, lin_info = lin_solve(matvec, rhs, minv,
                                  rtol=cfg.lin_rtol, atol=0.1 * atol_eff,
                                  maxiter=cfg.lin_maxiter)
-        N = N + cfg.relaxation * dN
-        r = resid(N)
+        alpha0 = jnp.asarray(cfg.relaxation, N.dtype)
+        N_new = N + alpha0 * dN
+        r = resid(N_new)
         rnorm_new = jnp.linalg.norm(r)
+
+        if cfg.ls_backtracks > 0:
+            # lazy backtracking: only pay extra residual evaluations when
+            # the full step failed to reduce the residual
+            def ls_cond(c):
+                a, Nc, rc, rnc, tries = c
+                insufficient = rnc > (1.0 - 1e-4 * a) * rnorm
+                return insufficient & (tries < cfg.ls_backtracks)
+
+            def ls_body(c):
+                a, Nc, rc, rnc, tries = c
+                a = a * 0.5
+                Nc = N + a * dN
+                rc = resid(Nc)
+                return (a, Nc, rc, jnp.linalg.norm(rc), tries + 1)
+
+            _, N_new, r, rnorm_new, _ = jax.lax.while_loop(
+                ls_cond, ls_body, (alpha0, N_new, r, rnorm_new, 0))
+        N = N_new
         bad = ~jnp.isfinite(rnorm_new)
         inc_ok = (cfg.inc_rtol > 0.0) & (
             jnp.linalg.norm(dN) <= cfg.inc_rtol * jnp.linalg.norm(N))
         done = converged_fn(rnorm_new) | inc_ok
-        stall = jnp.where(rnorm_new > cfg.stall_factor * rnorm, stall + 1, 0)
-        return (N, r, rnorm_new, stall, k + 1,
+        # progress = a significant improvement over the best residual so far;
+        # anything else (slow crawl, oscillation, floor) counts toward stall
+        progress = rnorm_new < cfg.stall_factor * rn_best
+        stall = jnp.where(progress, 0, stall + 1)
+        better = rnorm_new < rn_best
+        N_best = jnp.where(better, N, N_best)
+        rn_best = jnp.where(better, rnorm_new, rn_best)
+        return (N, r, rnorm_new, N_best, rn_best, stall, k + 1,
                 cg_total + lin_info["iters"], bad, done)
 
-    init = (N0, r0, rnorm0, 0, 0, 0, ~jnp.isfinite(rnorm0),
+    init = (N0, r0, rnorm0, N0, rnorm0, 0, 0, 0, ~jnp.isfinite(rnorm0),
             converged_fn(rnorm0))
-    N, r, rnorm, stall, k, cg_total, bad, done = jax.lax.while_loop(
-        cond, body, init)
-    # accept a stalled solve that still made a deep relative reduction — the
-    # floating-point residual floor, not true divergence
-    accepted = done | (rnorm <= cfg.stall_rtol * rnorm0)
+    N, r, rnorm, N_best, rn_best, stall, k, cg_total, bad, done = \
+        jax.lax.while_loop(cond, body, init)
+    # On a clean exit keep the last iterate; on a stalled/cycling exit keep
+    # the best iterate seen, and accept it if it made a deep relative
+    # reduction (roundoff floor or Newton limit cycle, not divergence).
+    N_out = jnp.where(done, N, N_best)
+    rn_out = jnp.where(done, rnorm, rn_best)
+    accepted = done | (rn_out <= cfg.stall_rtol * rnorm0)
     stats = {
         "iters": k,
         "rnorm0": rnorm0,
-        "rnorm": rnorm,
+        "rnorm": rn_out,
         "converged": accepted & (~bad),
         "cg_iters": cg_total,
     }
-    return N, stats
+    return N_out, stats
