@@ -176,6 +176,11 @@ class ModelSetup:
         state0 = State(N=f(self.N_init), b=f(self.b_init),
                        q=f(self.q_init), melt=f(self.melt_init))
         cfg = self.solver.for_dtype(self.dtype)
+        if op == "bell" and cfg.coarse_block != 128:
+            # align the coarse aggregates with the operator blocks so the
+            # restriction is a plain row-sum over the (NB, B) layout
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, coarse_block=128)
         return mesh, static, state0, cfg
 
     # ------------------------------------------------------------------ solve

@@ -61,25 +61,49 @@ class StepPre:
     dt: Any         # scalar timestep
 
 
-def precompute_step(mesh, N_n, b, q, melt_n, static, dt, params: PhysicalParams,
-                    quad_degree: int = 4) -> StepPre:
-    """Build the frozen per-step data (reference freezes these by passing the
-    previous-step Functions into the form, solvers.py:28-45)."""
+def static_quad_fields(mesh, static, quad_degree: int, dtype):
+    """Quadrature-point values of the time-independent forcing fields —
+    computed once at model build, not per step (they were per-step gathers
+    in the first cut; TPU element-gathers are expensive enough to matter)."""
     phi_np, wq_np = quadrature(quad_degree)
-    dtype = b.dtype
     phi = jnp.asarray(phi_np, dtype=dtype)
     wq = jnp.asarray(wq_np, dtype=dtype)
-
     at_q = lambda f: ops.interpolate_at_quad(phi, ops.gather_cells(mesh, f))
+    return {
+        "phi": phi, "wq": wq,
+        "G_q": at_q(static.G),
+        "inputs_q": at_q(static.inputs),
+        "storage_q": at_q(static.storage),
+    }
 
-    b_q = at_q(b)
-    q_q = at_q(q)                                   # (c, nq, 2)
+
+def precompute_step(mesh, N_n, b, q, melt_n, static, dt, params: PhysicalParams,
+                    quad_degree: int = 4, sq=None) -> StepPre:
+    """Build the frozen per-step data (reference freezes these by passing the
+    previous-step Functions into the form, solvers.py:28-45).
+
+    One fused corner gather covers all evolving scalar fields (TPU
+    element-gathers pay a large fixed cost; 4 gathers -> 1).
+    """
+    dtype = b.dtype
+    if sq is None:
+        sq = static_quad_fields(mesh, static, quad_degree, dtype)
+    phi, wq = sq["phi"], sq["wq"]
+
+    # fused gather: scalars [b, melt_n, N_n] + flux components as columns
+    stacked = jnp.stack([b, melt_n, N_n, q[:, 0], q[:, 1]], axis=1)  # (n, 5)
+    sc = ops.gather_cells(mesh, stacked)                             # (c, 3, 5)
+    sq_q = ops.interpolate_at_quad(phi, sc)                          # (c, nq, 5)
+    b_q, melt_q, Nn_q = sq_q[..., 0], sq_q[..., 1], sq_q[..., 2]
+    q_q = sq_q[..., 3:5]                                             # (c, nq, 2)
+
     Re_q = law.reynolds(q_q, params)
     Tq = law.transmissivity(b_q, Re_q, params)
 
-    melt_q = at_q(melt_n)
-    grad_b = ops.cell_grad(mesh, b)                 # (c, 2)
-    grad_melt = ops.cell_grad(mesh, melt_n)         # (c, 2)
+    # cellwise gradients from the same gathered corner values
+    grads_sc = ein("cik,cid->ckd", sc - jnp.mean(sc, axis=1, keepdims=True),
+                   mesh.grads)                                       # (c, 5, 2)
+    grad_b, grad_melt = grads_sc[:, 0], grads_sc[:, 1]
     mdiff_q = law.melt_regularization(
         b_q, melt_q, grad_b[:, None, :], grad_melt[:, None, :])
 
@@ -87,10 +111,10 @@ def precompute_step(mesh, N_n, b, q, melt_n, static, dt, params: PhysicalParams,
         phi=phi, wq=wq,
         gb0=static.gb0,
         Tq=Tq, q_q=q_q, b_q=b_q, mdiff_q=mdiff_q,
-        G_q=at_q(static.G),
-        inputs_q=at_q(static.inputs),
-        storage_q=at_q(static.storage),
-        Nn_q=at_q(N_n),
+        G_q=sq["G_q"],
+        inputs_q=sq["inputs_q"],
+        storage_q=sq["storage_q"],
+        Nn_q=Nn_q,
         dt=dt,
     )
 
@@ -131,6 +155,18 @@ def assemble_residual(N, pre: StepPre, mesh, params: PhysicalParams):
     """Global residual vector F(N) (n_nodes,)."""
     N_c = ops.gather_cells(mesh, N)
     return ops.scatter_add_cells(mesh, corner_residual(N_c, pre, mesh, params))
+
+
+def assemble_residual_multi(Ns, pre: StepPre, mesh, params: PhysicalParams):
+    """Residuals for k stacked states at once: (n, k) -> (n, k).
+
+    Same op count as a single assembly (batched shapes) — used to evaluate
+    the residual and its roundoff-sensitivity probe in one pass.
+    """
+    sc = ops.gather_cells(mesh, Ns)                              # (c, 3, k)
+    f = jax.vmap(lambda Nc: corner_residual(Nc, pre, mesh, params),
+                 in_axes=2, out_axes=2)
+    return ops.scatter_add_cells(mesh, f(sc))                    # (n, k)
 
 
 def residual_roundoff_floor(N, pre: StepPre, mesh, params: PhysicalParams):

@@ -112,22 +112,22 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         return jnp.where(dirichlet, 0.0, r)
 
     N0 = jnp.where(dirichlet, dirichlet_value, N_init)
-    r0 = resid(N0)
-    rnorm0 = jnp.linalg.norm(r0)
     tiny = jnp.asarray(jnp.finfo(N0.dtype).tiny, N0.dtype)
     eps = jnp.asarray(jnp.finfo(N0.dtype).eps, N0.dtype)
-    # dtype-aware absolute floor: (a) roundoff of the element contributions,
-    # (b) residual sensitivity to perturbing N at its own representational
-    # resolution — residual norms below ||r(N + eps|N|) - r(N)|| cannot be
-    # meaningfully reduced by any representable N update (the dominant floor
-    # in f32, where N ~ 1e6 Pa has ~0.1 Pa resolution)
-    floor_a = res.residual_roundoff_floor(N0, pre, mesh, params)
+    # One batched assembly evaluates the residual AND its sensitivity probe:
+    # residual norms below ||r(N + eps|N|) - r(N)|| cannot be meaningfully
+    # reduced by any representable N update (the dominant convergence floor
+    # in f32, where N ~ 1e6 Pa has ~0.1 Pa resolution).
     sign = jnp.where(jnp.arange(N0.shape[0]) % 2 == 0, 1.0, -1.0).astype(N0.dtype)
-    r_pert = resid(N0 + eps * jnp.abs(N0) * sign)
-    floor_b = jnp.linalg.norm(r_pert - r0)
+    both = res.assemble_residual_multi(
+        jnp.stack([N0, N0 + eps * jnp.abs(N0) * sign], axis=1),
+        pre, mesh, params)
+    both = jnp.where(dirichlet[:, None], 0.0, both)
+    r0 = both[:, 0]
+    rnorm0 = jnp.linalg.norm(r0)
+    floor_b = jnp.linalg.norm(both[:, 1] - r0)
     atol_eff = jnp.maximum(jnp.asarray(cfg.atol, N0.dtype),
-                           jnp.maximum(10.0 * floor_a,
-                                       cfg.floor_mult * floor_b))
+                           cfg.floor_mult * floor_b)
 
     def converged_fn(rnorm):
         return (rnorm < atol_eff) | (rnorm <= cfg.rtol * jnp.maximum(rnorm0, tiny))

@@ -58,12 +58,16 @@ def make_two_level(J_c, mesh, dirichlet, a_diag, block: int = 64):
     # regularize empty / fully-constrained aggregates
     dmean = jnp.mean(jnp.abs(jnp.diag(A_c))) + tiny
     A_c = A_c + (1e-8 * dmean) * jnp.eye(m, dtype=dtype)
-    chol = jax.scipy.linalg.cho_factor(A_c)
+    # precompute the dense inverse: the per-Krylov-iteration apply is then a
+    # single small matmul.  (cho_solve's triangular solves lower to many
+    # sequential ops on TPU — measured slower per apply than inv()'s one-off
+    # cost amortized over ~26 CG iterations.)
+    A_inv = jnp.linalg.inv(A_c)
 
     def apply(r):
         rf = jnp.where(dirichlet, 0.0, r)
         rc = jnp.pad(rf, (0, pad)).reshape(m, block).sum(axis=1)
-        zc = jax.scipy.linalg.cho_solve(chol, rc)
+        zc = ein("ij,j->i", A_inv, rc)
         z_coarse = jnp.repeat(zc, block)[:n]
         z = jacobi(r) + jnp.where(dirichlet, 0.0, z_coarse)
         return z

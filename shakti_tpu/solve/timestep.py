@@ -86,43 +86,64 @@ def make_static_fields(mesh, z_b, z_s, G, inputs, storage, dirichlet_mask,
 
 def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
                  cfg: NewtonConfig):
-    """Returns step(state, dt) -> (state, diagnostics)."""
+    """Returns step(state, dt) -> (state, diagnostics).
+
+    The explicit-update data movement is fused: all nodal->corner gathers
+    are stacked into single gathers and the cell->node averages into single
+    segment-sums (TPU element-gathers/scatters pay a large fixed cost per
+    op, so op count — not element count — dominates this phase).
+    """
 
     p = params
+    # static forcing at quadrature points: computed once here, closed over
+    sq = res.static_quad_fields(mesh, static, cfg.quad_degree,
+                                mesh.nodes.dtype)
 
     def step(state: State, dt):
         # ---- 1. implicit solve for N (b, q, melt frozen; N_n = state.N) ----
         pre = res.precompute_step(mesh, state.N, state.b, state.q, state.melt,
-                                  static, dt, p, cfg.quad_degree)
+                                  static, dt, p, cfg.quad_degree, sq=sq)
         N, stats = newton_solve(state.N, pre, mesh, static.dirichlet,
                                 static.N_bdry, p, cfg)
 
-        # ---- cellwise head gradient at the new N, averaged to nodes ----
-        grad_h_c = static.gb0 - ops.cell_grad(mesh, N) / (p.rho_w * p.g)
-        grad_h_n = ops.cell_to_node_avg(mesh, grad_h_c)          # (n, 2)
+        # ---- fused corner gather of [N, b, melt] + cellwise gradients ----
+        st = jnp.stack([N, state.b, state.melt], axis=1)         # (n, 3)
+        sc = ops.gather_cells(mesh, st)                          # (c, 3, 3)
+        dev = sc - jnp.mean(sc, axis=1, keepdims=True)
+        g = ops.ein("cik,cid->ckd", dev, mesh.grads)             # (c, 3, 2)
+        grad_h_c = static.gb0 - g[:, 0] / (p.rho_w * p.g)        # (c, 2)
+        grad_b_c, grad_m_c = g[:, 1], g[:, 2]
+        b_cell, melt_cell = sc[:, :, 1], sc[:, :, 2]
 
-        # ---- 2. q update: Re from OLD q (reference q_expr, solvers.py:143,186)
+        # mdiff with OLD melt (reference melt_n_expr, solvers.py:165,189)
+        mdiff_old_ci = law.melt_regularization(
+            b_cell, melt_cell, grad_b_c[:, None, :], grad_m_c[:, None, :])
+
+        # ---- fused cell->node averaging: [grad_h (2), mdiff_old (1)] ----
+        pack = jnp.concatenate(
+            [jnp.broadcast_to(grad_h_c[:, None, :], grad_h_c.shape[:1] + (3, 2)),
+             mdiff_old_ci[:, :, None]], axis=-1)                 # (c, 3, 3)
+        avg = ops.cellnodal_to_node_avg(mesh, pack)              # (n, 3)
+        grad_h_n, mdiff_old_n = avg[:, :2], avg[:, 2]
+
+        # ---- 2. q update: Re from OLD q (reference q_expr, solvers.py:186)
         Re = law.reynolds(state.q, p)
         q = law.water_flux(state.b, grad_h_n, Re, p)
 
         # ---- 3. melt update: NEW q, OLD b, OLD melt in the regularization
-        #         (reference melt_n_expr, solvers.py:165,189)
         m0 = law.melt_opening(q, grad_h_n, static.G, p)
-        grad_b_c = ops.cell_grad(mesh, state.b)                  # (c, 2)
-        b_cell = ops.gather_cells(mesh, state.b)                 # (c, 3)
+        melt = m0 + mdiff_old_n
 
-        def mdiff_at_nodes(melt_field):
-            melt_cell = ops.gather_cells(mesh, melt_field)
-            grad_m_c = ops.cell_grad(mesh, melt_field)
-            v = law.melt_regularization(
-                b_cell, melt_cell, grad_b_c[:, None, :], grad_m_c[:, None, :])
-            return ops.cellnodal_to_node_avg(mesh, v)            # (n,)
-
-        melt = m0 + mdiff_at_nodes(state.melt)
-
-        # ---- 4. b update: forward Euler with NEW q/melt, OLD b
-        #         (reference b_expr, solvers.py:162,192)
-        melt_for_b = m0 + mdiff_at_nodes(melt)
+        # ---- 4. b update: forward Euler with NEW q and NEW melt in the
+        #         regularization, OLD b elsewhere (reference b_expr, :162,192)
+        melt_cell_new = ops.gather_cells(mesh, melt)             # (c, 3)
+        grad_m_new = ops.ein(
+            "ci,cid->cd",
+            melt_cell_new - jnp.mean(melt_cell_new, axis=1, keepdims=True),
+            mesh.grads)
+        mdiff_new_ci = law.melt_regularization(
+            b_cell, melt_cell_new, grad_b_c[:, None, :], grad_m_new[:, None, :])
+        melt_for_b = m0 + ops.cellnodal_to_node_avg(mesh, mdiff_new_ci)
         b = state.b + dt * (melt_for_b / p.rho_i - law.closure(state.b, N, p))
 
         # ---- 5. clamp (reference solvers.py:194-197) ----
