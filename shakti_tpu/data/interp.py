@@ -35,6 +35,15 @@ class GridInterpolator:
         self.x, self.y, self.f = x, y, f
 
     def __call__(self, px, py):
+        from shakti_tpu import native
+        if native.available():
+            px_a = np.atleast_1d(np.asarray(px, dtype=np.float64))
+            py_a = np.atleast_1d(np.asarray(py, dtype=np.float64))
+            py_b = np.broadcast_to(py_a, px_a.shape) if py_a.size == 1 else py_a
+            px_b = np.broadcast_to(px_a, py_b.shape) if px_a.size == 1 else px_a
+            out = native.bilinear(self.x, self.y, self.f, px_b, py_b)
+            if out is not None:
+                return out if np.ndim(px) or np.ndim(py) else float(out[0])
         px = np.clip(np.asarray(px, dtype=np.float64), self.x[0], self.x[-1])
         py = np.clip(np.asarray(py, dtype=np.float64), self.y[0], self.y[-1])
         i = np.clip(np.searchsorted(self.x, px) - 1, 0, self.x.size - 2)

@@ -39,6 +39,12 @@ def build_block_ell(cells: np.ndarray, n_nodes: int, B: int = BLOCK):
     Returns (nbr (NB, KB) int32, slot_map (9*c,) int32 flat positions into
     vals (NB, KB, B, B), diag_pos (n_nodes,) int32, KB).
     """
+    from shakti_tpu import native
+    if native.available():
+        nat = native.bell_build(np.asarray(cells, np.int32), n_nodes, B)
+        if nat is not None:
+            nbr, slot_map, diag_pos, KB = nat
+            return nbr, slot_map, diag_pos, KB
     NB = -(-n_nodes // B)
     c = cells.shape[0]
     rows = np.broadcast_to(cells[:, :, None], (c, 3, 3)).reshape(-1).astype(np.int64)

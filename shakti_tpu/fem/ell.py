@@ -32,6 +32,12 @@ def build_ell_map(cells: np.ndarray, n_nodes: int):
     (n,) int32): ``slot_map[e]`` is the flat n*K position receiving flat
     element-Jacobian entry e (ordering J_c.reshape(-1): (c, i, j) row-major).
     """
+    from shakti_tpu import native
+    if native.available():
+        nat = native.ell_build(np.asarray(cells, np.int32), n_nodes)
+        if nat is not None:
+            cols, slot_map, diag_slot, _ = nat
+            return cols, slot_map, diag_slot
     c = cells.shape[0]
     # rows[c, i, j] = cells[c, i]; cols_e[c, i, j] = cells[c, j]
     rows = np.broadcast_to(cells[:, :, None], (c, 3, 3))

@@ -22,6 +22,10 @@ def boundary_edges(cells: np.ndarray) -> np.ndarray:
     Equivalent to DOLFINx exterior-facet computation (used implicitly by
     reference solvers.py:22 `locate_entities_boundary`).
     """
+    from shakti_tpu import native
+    nat = native.boundary_edges(cells) if native.available() else None
+    if nat is not None:
+        return nat
     e = np.concatenate([cells[:, [0, 1]], cells[:, [1, 2]], cells[:, [2, 0]]])
     key = np.sort(e, axis=1)
     _, idx, counts = np.unique(key, axis=0, return_index=True, return_counts=True)
@@ -67,6 +71,10 @@ def points_in_polygon(points: np.ndarray, polygon: np.ndarray) -> np.ndarray:
     """
     points = np.asarray(points, dtype=np.float64)
     polygon = np.asarray(polygon, dtype=np.float64)
+    from shakti_tpu import native
+    nat = native.points_in_polygon(points, polygon) if native.available() else None
+    if nat is not None:
+        return nat
 
     # split on NaN-delimited rings
     isnan = np.isnan(polygon[:, 0])

@@ -16,6 +16,10 @@ def rcb_partition(points: np.ndarray, n_parts: int) -> np.ndarray:
     """Assign each point (m, 2) to one of ``n_parts`` parts by recursive
     coordinate bisection.  Deterministic; part sizes differ by at most 1."""
     points = np.asarray(points, dtype=np.float64)
+    from shakti_tpu import native
+    nat = native.rcb_partition(points, n_parts) if native.available() else None
+    if nat is not None:
+        return nat
     m = points.shape[0]
     part = np.zeros(m, dtype=np.int32)
 
@@ -24,9 +28,11 @@ def rcb_partition(points: np.ndarray, n_parts: int) -> np.ndarray:
             part[idx] = base
             return
         p_lo = parts // 2
-        n_lo = int(round(idx.size * p_lo / parts))
+        # half-up rounding (matches the native llround)
+        n_lo = int(np.floor(idx.size * p_lo / parts + 0.5))
         pts = points[idx]
-        axis = int(np.argmax(pts.max(axis=0) - pts.min(axis=0)))
+        axis = 0 if (pts[:, 0].max() - pts[:, 0].min()
+                     >= pts[:, 1].max() - pts[:, 1].min()) else 1
         order = np.argsort(pts[:, axis], kind="stable")
         split(idx[order[:n_lo]], p_lo, base)
         split(idx[order[n_lo:]], parts - p_lo, base + p_lo)
@@ -42,6 +48,10 @@ def rcb_order(points: np.ndarray, leaf: int = 32) -> np.ndarray:
     compact blocks minimize the block-sparsity fill and hence the MXU SpMV's
     memory traffic."""
     points = np.asarray(points, dtype=np.float64)
+    from shakti_tpu import native
+    nat = native.rcb_order(points, leaf) if native.available() else None
+    if nat is not None:
+        return nat
     out = []
 
     def rec(idx):
@@ -49,7 +59,8 @@ def rcb_order(points: np.ndarray, leaf: int = 32) -> np.ndarray:
             out.append(idx)
             return
         pts = points[idx]
-        axis = int(np.argmax(pts.max(axis=0) - pts.min(axis=0)))
+        axis = 0 if (pts[:, 0].max() - pts[:, 0].min()
+                     >= pts[:, 1].max() - pts[:, 1].min()) else 1
         order = np.argsort(pts[:, axis], kind="stable")
         h = idx.size // 2
         rec(idx[order[:h]])
