@@ -57,6 +57,11 @@ class NewtonConfig:
     # multiplier on the residual-sensitivity floor used as absolute tolerance
     # (accuracy/cost knob: larger = earlier exits near steady state)
     floor_mult: float = 1.0
+    # Failure fallback (SURVEY §5 failure-detection row): number of in-graph
+    # dt-halving levels when a step's Newton solve does not converge — each
+    # level retries the step as two half-dt sub-steps (lax.cond branch; the
+    # reference simply aborts via assert, solvers.py:179-180).  0 disables.
+    adaptive_dt_levels: int = 0
     # Stagnation handling: when the residual stops improving, exit and accept
     # the solve if the residual fell by at least 1/stall_rtol relative to the
     # start.  Two distinct regimes hit this: (a) the floating-point residual

@@ -159,7 +159,36 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
         }
         return new_state, diag
 
-    return step
+    out = step
+    for lvl in range(cfg.adaptive_dt_levels):
+        out = with_dt_halving(out, lvl)
+    return out
+
+
+def with_dt_halving(base, level: int = 0):
+    """Wrap a step function with one dt-halving retry level: a failed step
+    is redone as two half-dt sub-steps (in-graph lax.cond; SURVEY §5 —
+    replaces the reference's assert-abort with graceful dt fallback).
+    Stack levels for repeated halving."""
+
+    def stepped(state, dt):
+        s1, d1 = base(state, dt)
+
+        def retry(_):
+            sa, da = base(state, 0.5 * dt)
+            sb, db = base(sa, 0.5 * dt)
+            diag = {
+                "newton_iters": da["newton_iters"] + db["newton_iters"],
+                "rnorm": db["rnorm"],
+                "rnorm0": da["rnorm0"],
+                "converged": da["converged"] & db["converged"],
+                "cg_iters": da["cg_iters"] + db["cg_iters"],
+            }
+            return sb, diag
+
+        return jax.lax.cond(d1["converged"], lambda _: (s1, d1), retry, None)
+
+    return stepped
 
 
 def run_window(step_fn, state: State, dts):

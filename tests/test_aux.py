@@ -1,0 +1,127 @@
+"""Auxiliary subsystems: ensembles, adaptive dt, polygon meshing, profiling."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import setups.setup_slab as slab
+from shakti_tpu.parallel.ensemble import (make_ensemble_runner,
+                                          perturbed_ensemble)
+from shakti_tpu.solve.timestep import make_step_fn, timestep_sizes
+from shakti_tpu.utils.profiling import Timer, time_fn
+
+
+def test_ensemble_vmap_matches_member_runs():
+    md = slab.initialize(nx=8, ny=8, days=1.0, nt_per_day=4)
+    mesh, static, state, cfg = md.freeze()
+    ens = perturbed_ensemble(state, 3, b_scale=2e-4, seed=1)
+    runner = make_ensemble_runner(mesh, static, md.params, cfg)
+    dts = timestep_sizes(md.timesteps, dtype=md.dtype)[:3]
+    out, diags = runner(ens, dts)
+    assert out.N.shape == (3,) + state.N.shape
+    assert bool(np.asarray(diags["converged"]).all())
+
+    # member 1 run alone must match its slot in the batch
+    single = jax.tree_util.tree_map(lambda x: x[1], ens)
+    step = make_step_fn(mesh, static, md.params, cfg)
+    from shakti_tpu.solve.timestep import run_window
+    s1, _ = jax.jit(lambda s, d: run_window(step, s, d))(single, dts)
+    np.testing.assert_allclose(np.asarray(out.N[1]), np.asarray(s1.N),
+                               rtol=1e-10)
+
+
+def test_adaptive_dt_halving_control_flow():
+    """Unit test of the dt-halving retry wiring with a stub step that
+    succeeds only below a dt threshold."""
+    from shakti_tpu.solve.timestep import with_dt_halving
+
+    def base(state, dt):
+        ok = dt < 1000.0
+        diag = {"newton_iters": jnp.asarray(1), "rnorm": dt,
+                "rnorm0": dt, "converged": ok, "cg_iters": jnp.asarray(1)}
+        return state + dt, diag
+
+    one = with_dt_halving(base, 0)
+    two = with_dt_halving(one, 1)
+
+    # dt below threshold: taken directly
+    s, d = jax.jit(one)(jnp.asarray(0.0), jnp.asarray(800.0))
+    assert bool(d["converged"]) and float(s) == 800.0
+    # dt needing one halving: two sub-steps of dt/2
+    s, d = jax.jit(one)(jnp.asarray(0.0), jnp.asarray(1500.0))
+    assert bool(d["converged"]) and float(s) == 1500.0
+    assert int(d["newton_iters"]) == 2
+    # dt needing two halvings
+    s, d = jax.jit(two)(jnp.asarray(0.0), jnp.asarray(3000.0))
+    assert bool(d["converged"]) and float(s) == 3000.0
+    assert int(d["newton_iters"]) == 4
+    # beyond the available levels: reported unconverged
+    s, d = jax.jit(one)(jnp.asarray(0.0), jnp.asarray(5000.0))
+    assert not bool(d["converged"])
+
+
+def test_adaptive_dt_deepens_convergence():
+    """Integration: with a crippled Newton budget, halving levels drive the
+    final step residual orders of magnitude lower."""
+    md = slab.initialize(nx=10, ny=10, days=1.0, nt_per_day=4)
+    mesh, static, state, cfg = md.freeze()
+
+    def final_rnorm(levels):
+        hard = dataclasses.replace(cfg, max_iter=3, stall_patience=50,
+                                   stall_rtol=1e-30, inc_rtol=0.0,
+                                   adaptive_dt_levels=levels)
+        step = jax.jit(make_step_fn(mesh, static, md.params, hard))
+        _, d = step(state, jnp.asarray(1080.0, md.dtype))
+        return float(np.asarray(d["rnorm"]))
+
+    r0, r1 = final_rnorm(0), final_rnorm(1)
+    assert r1 < 1e-3 * r0
+
+
+def test_polygon_mesh_quality():
+    from shakti_tpu.mesh.generate import polygon_mesh
+    from shakti_tpu.mesh.mesh import cell_geometry
+    from shakti_tpu.mesh import geometry as geo
+    th = np.linspace(0, 2 * np.pi, 60, endpoint=False)
+    r = 5e3 * (1 + 0.25 * np.sin(3 * th))
+    outline = np.column_stack([r * np.cos(th), r * np.sin(th)])
+    nodes, cells = polygon_mesh(outline, resolution=500.0)
+    assert nodes.shape[0] > 200
+    area, _ = cell_geometry(nodes, cells)
+    assert np.abs(area).min() > 0
+    # total area close to polygon area
+    x, y = outline[:, 0], outline[:, 1]
+    poly_area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    assert abs(np.abs(area).sum() - poly_area) / poly_area < 0.05
+    # every centroid inside
+    cent = nodes[cells].mean(axis=1)
+    assert geo.points_in_polygon(cent, outline).all()
+    # mesh is solvable end-to-end
+    from shakti_tpu.api.model import ModelSetup
+    md = ModelSetup(nodes, cells)
+    md.z_b = 0.01 * md.x
+    md.z_s = md.z_b + 800.0
+    md.G = np.full(md.x.size, 0.05)
+    md.N_bdry = 1e5
+    md.OutflowBoundary = lambda p: p[:, 0] < nodes[:, 0].min() + 600.0
+    md.storage_on = False
+    md.N_init = np.full(md.x.size, md.N_bdry)
+    md.b_init = np.full(md.x.size, 1e-3)
+    md.timesteps = np.linspace(0, 4 * 3600.0, 4)
+    md.nt_save = 2
+    from shakti_tpu.api.run import solve
+    out = solve(md, progress=False)
+    assert np.isfinite(out["history"]["N"]).all()
+
+
+def test_profiling_utils():
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.ones(128)
+    ms = time_fn(f, x, iters=3)
+    assert ms >= 0.0
+    with Timer() as t:
+        y = f(x)
+        t.stop(y)
+    assert t.ms >= 0.0
