@@ -176,11 +176,16 @@ class ModelSetup:
         state0 = State(N=f(self.N_init), b=f(self.b_init),
                        q=f(self.q_init), melt=f(self.melt_init))
         cfg = self.solver.for_dtype(self.dtype)
-        if op == "bell" and cfg.coarse_block != 128:
-            # align the coarse aggregates with the operator blocks so the
+        if cfg.coarse_block == 64:  # the 'auto' default
+            # auto coarse-aggregate size: cap the dense coarse problem at
+            # ~1.5k dofs (its inverse is rebuilt every Newton iteration);
+            # on the block operator start from the 128-wide blocks so the
             # restriction is a plain row-sum over the (NB, B) layout
             import dataclasses as _dc
-            cfg = _dc.replace(cfg, coarse_block=128)
+            blk = 128 if op == "bell" else 64
+            while n // blk > 1536:
+                blk *= 2
+            cfg = _dc.replace(cfg, coarse_block=blk)
         return mesh, static, state0, cfg
 
     # ------------------------------------------------------------------ solve

@@ -238,16 +238,22 @@ def make_operator(J_c, mesh, dirichlet):
     matvec + psum path.
     """
     if mesh.bell_nbr is not None:
+        import os
         from shakti_tpu.fem import bell as bellm
         NB, KB = mesh.bell_nbr.shape
         B = mesh.bell_B
         vals = -bellm.bell_from_elements(J_c, mesh.bell_map, NB, KB, B)
         a_diag = bellm.bell_diag(vals, mesh.bell_diag_pos)
         n = mesh.n_nodes
+        use_pallas = os.environ.get("SHAKTI_PALLAS_SPMV", "0") == "1"
 
         def matvec(x):
             xf = jnp.where(dirichlet, 0.0, x)
-            y = bellm.bell_matvec(vals, mesh.bell_nbr, xf, n)
+            if use_pallas:
+                from shakti_tpu.ops.spmv_pallas import bell_matvec_pallas
+                y = bell_matvec_pallas(vals, mesh.bell_nbr, xf, n)
+            else:
+                y = bellm.bell_matvec(vals, mesh.bell_nbr, xf, n)
             return jnp.where(dirichlet, x, y)
 
         return matvec, a_diag
