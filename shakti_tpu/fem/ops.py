@@ -66,6 +66,10 @@ def scatter_add_cells(mesh, contrib):
     flat_idx = mesh.cells.reshape(-1)
     flat = contrib.reshape((-1,) + contrib.shape[2:])
     out = jax.ops.segment_sum(flat, flat_idx, num_segments=mesh.n_nodes)
+    if mesh.halo is not None:
+        # node-sharded SPMD: complete assembly across partition boundaries
+        # (ghost->owner add, then refresh ghost copies)
+        return mesh.halo.accumulate(out)
     if mesh.paxis is not None:
         # cross-device ghost accumulate: each shard holds a subset of cells
         # referencing the replicated global node set; summing partial nodal

@@ -56,6 +56,10 @@ class Mesh:
     bell_diag_pos: Any = None   # (n_nodes,) flat diagonal positions
     bell_B: int | None = dataclasses.field(default=None,
                                            metadata=dict(static=True))
+    # Node-sharded SPMD (parallel/halo.py): when set, this Mesh is one
+    # device's owned+ghost view; assembly completes via halo.accumulate and
+    # reductions via halo.dot/norm.
+    halo: Any = None
 
     @property
     def n_nodes(self) -> int:

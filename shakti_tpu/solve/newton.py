@@ -111,6 +111,11 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
     cg_iters).  Fully traceable; call under jit/scan.
     """
     lin_solve = krylov.get_solver(cfg.krylov)
+    # reductions: ghost-masked + psum'd in node-sharded SPMD mode
+    if mesh.halo is not None:
+        dot, norm = mesh.halo.dot, mesh.halo.norm
+    else:
+        dot, norm = jnp.vdot, jnp.linalg.norm
 
     def resid(N):
         r = res.assemble_residual(N, pre, mesh, params)
@@ -129,8 +134,8 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         pre, mesh, params)
     both = jnp.where(dirichlet[:, None], 0.0, both)
     r0 = both[:, 0]
-    rnorm0 = jnp.linalg.norm(r0)
-    floor_b = jnp.linalg.norm(both[:, 1] - r0)
+    rnorm0 = norm(r0)
+    floor_b = norm(both[:, 1] - r0)
     atol_eff = jnp.maximum(jnp.asarray(cfg.atol, N0.dtype),
                            cfg.floor_mult * floor_b)
 
@@ -148,6 +153,9 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         matvec0, a_diag = res.make_operator(J_c, mesh, dirichlet)
         # regularize degenerate (clamped-sheet) rows: see diag_floor_rel
         dmax = jnp.max(jnp.where(dirichlet, 0.0, jnp.abs(a_diag)))
+        if mesh.halo is not None:
+            # SPMD consistency: the floor scale must be identical everywhere
+            dmax = jax.lax.pmax(dmax, mesh.halo.axis)
         extra = jnp.where(dirichlet, 0.0,
                           jnp.maximum(0.0, cfg.diag_floor_rel * dmax - a_diag))
         matvec = lambda x: matvec0(x) + extra * x
@@ -157,11 +165,11 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         rhs = r                                             # A dN = F (r == masked F)
         dN, lin_info = lin_solve(matvec, rhs, minv,
                                  rtol=cfg.lin_rtol, atol=0.1 * atol_eff,
-                                 maxiter=cfg.lin_maxiter)
+                                 maxiter=cfg.lin_maxiter, dot=dot, norm=norm)
         alpha0 = jnp.asarray(cfg.relaxation, N.dtype)
         N_new = N + alpha0 * dN
         r = resid(N_new)
-        rnorm_new = jnp.linalg.norm(r)
+        rnorm_new = norm(r)
 
         if cfg.ls_backtracks > 0:
             # lazy backtracking: only pay extra residual evaluations when
@@ -176,14 +184,14 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
                 a = a * 0.5
                 Nc = N + a * dN
                 rc = resid(Nc)
-                return (a, Nc, rc, jnp.linalg.norm(rc), tries + 1)
+                return (a, Nc, rc, norm(rc), tries + 1)
 
             _, N_new, r, rnorm_new, _ = jax.lax.while_loop(
                 ls_cond, ls_body, (alpha0, N_new, r, rnorm_new, 0))
         N = N_new
         bad = ~jnp.isfinite(rnorm_new)
         inc_ok = (cfg.inc_rtol > 0.0) & (
-            jnp.linalg.norm(dN) <= cfg.inc_rtol * jnp.linalg.norm(N))
+            norm(dN) <= cfg.inc_rtol * norm(N))
         done = converged_fn(rnorm_new) | inc_ok
         # progress = a significant improvement over the best residual so far;
         # anything else (slow crawl, oscillation, floor) counts toward stall

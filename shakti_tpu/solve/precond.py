@@ -79,6 +79,6 @@ def make_preconditioner(name: str, J_c, mesh, dirichlet, a_diag,
                         coarse_block: int = 64):
     dtype = a_diag.dtype
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-    if name == "two_level" and mesh.paxis is None:
+    if name == "two_level" and mesh.paxis is None and mesh.halo is None:
         return make_two_level(J_c, mesh, dirichlet, a_diag, coarse_block)
     return make_jacobi(a_diag, dirichlet, tiny)
