@@ -174,7 +174,8 @@ class ModelSetup:
             p(storage), dmask, self.N_bdry, self.b_min, self.params)
         f = lambda a: jnp.asarray(p(a), dtype=self.dtype)
         state0 = State(N=f(self.N_init), b=f(self.b_init),
-                       q=f(self.q_init), melt=f(self.melt_init))
+                       q=f(self.q_init), melt=f(self.melt_init),
+                       N_prev=f(self.N_init))
         cfg = self.solver.for_dtype(self.dtype)
         if cfg.coarse_block == 64:  # the 'auto' default
             # auto coarse-aggregate size: cap the dense coarse problem at

@@ -23,6 +23,8 @@ def save_state(results_dir: str, state: State, next_step: int, next_row: int):
     np.savez(tmp,
              N=np.asarray(state.N), b=np.asarray(state.b),
              q=np.asarray(state.q), melt=np.asarray(state.melt),
+             N_prev=np.asarray(state.N_prev if state.N_prev is not None
+                               else state.N),
              next_step=np.int64(next_step), next_row=np.int64(next_row))
     os.replace(tmp, path)
 
@@ -35,5 +37,7 @@ def load_state(results_dir: str, dtype=None):
         return None
     z = np.load(path)
     f = (lambda a: jnp.asarray(a, dtype=dtype)) if dtype else jnp.asarray
-    state = State(N=f(z["N"]), b=f(z["b"]), q=f(z["q"]), melt=f(z["melt"]))
+    np_prev = z["N_prev"] if "N_prev" in z.files else z["N"]
+    state = State(N=f(z["N"]), b=f(z["b"]), q=f(z["q"]), melt=f(z["melt"]),
+                  N_prev=f(np_prev))
     return state, int(z["next_step"]), int(z["next_row"])

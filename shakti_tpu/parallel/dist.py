@@ -60,6 +60,8 @@ def build_distributed(md, jmesh, axis: str = "x"):
         "storage": loc(static.storage).reshape(-1),
         "dirichlet": loc(np.asarray(static.dirichlet)).reshape(-1),
         "N0": loc(state.N).reshape(-1),
+        "Nprev0": loc(state.N_prev if state.N_prev is not None
+                      else state.N).reshape(-1),
         "b0": loc(state.b).reshape(-1),
         "q0": loc(state.q).reshape(-1, 2),
         "melt0": loc(state.melt).reshape(-1),
@@ -114,7 +116,8 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x"):
     ar = lambda k, dt=None: jnp.asarray(payload[k], dtype=dt)
     dtype = md.dtype
     state0 = State(N=ar("N0", dtype), b=ar("b0", dtype),
-                   q=ar("q0", dtype), melt=ar("melt0", dtype))
+                   q=ar("q0", dtype), melt=ar("melt0", dtype),
+                   N_prev=ar("Nprev0", dtype))
     args = ([ar(k) if k == "cells" else ar(k, dtype) for k in ("cells",)]
             + [ar("area", dtype), ar("grads", dtype), ar("valid", dtype),
                ar("gb0", dtype)]
@@ -139,4 +142,5 @@ def gather_state(plan, state_stacked: State) -> State:
     g = lambda a: jnp.asarray(
         H.globalize_nodal(plan, np.asarray(a).reshape((Pn, L) + a.shape[1:])))
     return State(N=g(state_stacked.N), b=g(state_stacked.b),
-                 q=g(state_stacked.q), melt=g(state_stacked.melt))
+                 q=g(state_stacked.q), melt=g(state_stacked.melt),
+                 N_prev=g(state_stacked.N_prev))

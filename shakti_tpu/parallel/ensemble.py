@@ -32,7 +32,7 @@ def perturbed_ensemble(state: State, n_members: int, *, b_scale: float = 5e-4,
         db = jnp.asarray(rng.normal(scale=b_scale, size=state.b.shape),
                          state.b.dtype)
         members.append(State(N=state.N, b=state.b + db, q=state.q,
-                             melt=state.melt))
+                             melt=state.melt, N_prev=state.N_prev))
     return stack_states(members)
 
 

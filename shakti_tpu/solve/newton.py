@@ -80,6 +80,10 @@ class NewtonConfig:
     # on small dt for stability; damping makes large-dt and rough-b regimes
     # robust.  0 disables (plain Newton).
     ls_backtracks: int = 4
+    # Newton initial guess by linear time extrapolation, 2N - N_prev
+    # (the reference starts from the previous solution, solvers.py:48;
+    # extrapolation starts ~10x closer mid-run at zero cost).
+    extrapolate_guess: bool = True
     # Increment criterion: accept when the Newton update becomes negligible,
     # ||dN|| <= inc_rtol * ||N||.  The residual norm in f32 floors at
     # evaluation noise (eps * |N| propagated through the form) long before
@@ -104,8 +108,15 @@ class NewtonConfig:
 
 
 def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
-                 cfg: NewtonConfig):
+                 cfg: NewtonConfig, N_ref=None):
     """Solve F(N) = 0 for effective pressure.
+
+    ``N_init`` is the starting iterate (possibly a time-extrapolated guess);
+    ``N_ref`` the trusted previous solution (defaults to N_init).  The
+    nothing-to-solve early exit is decided — and its value returned — at
+    N_ref only: an extrapolated guess may wander along the near-null
+    (collapsed-sheet) directions with sub-floor residuals, so it is never
+    accepted without at least one regularized Newton iteration.
 
     Returns (N, stats) with stats = dict(iters, rnorm0, rnorm, converged,
     cg_iters).  Fully traceable; call under jit/scan.
@@ -122,25 +133,34 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         return jnp.where(dirichlet, 0.0, r)
 
     N0 = jnp.where(dirichlet, dirichlet_value, N_init)
+    Nr = N0 if N_ref is None else jnp.where(dirichlet, dirichlet_value, N_ref)
     tiny = jnp.asarray(jnp.finfo(N0.dtype).tiny, N0.dtype)
     eps = jnp.asarray(jnp.finfo(N0.dtype).eps, N0.dtype)
-    # One batched assembly evaluates the residual AND its sensitivity probe:
-    # residual norms below ||r(N + eps|N|) - r(N)|| cannot be meaningfully
-    # reduced by any representable N update (the dominant convergence floor
-    # in f32, where N ~ 1e6 Pa has ~0.1 Pa resolution).
+    # One batched assembly evaluates the trusted-state residual, the guess
+    # residual, AND the sensitivity probe: residual norms below
+    # ||r(N + eps|N|) - r(N)|| cannot be meaningfully reduced by any
+    # representable N update (the dominant convergence floor in f32, where
+    # N ~ 1e6 Pa has ~0.1 Pa resolution).
     sign = jnp.where(jnp.arange(N0.shape[0]) % 2 == 0, 1.0, -1.0).astype(N0.dtype)
-    both = res.assemble_residual_multi(
-        jnp.stack([N0, N0 + eps * jnp.abs(N0) * sign], axis=1),
+    cols = res.assemble_residual_multi(
+        jnp.stack([Nr, N0, Nr + eps * jnp.abs(Nr) * sign], axis=1),
         pre, mesh, params)
-    both = jnp.where(dirichlet[:, None], 0.0, both)
-    r0 = both[:, 0]
+    cols = jnp.where(dirichlet[:, None], 0.0, cols)
+    r_ref = cols[:, 0]
+    r0 = cols[:, 1]
+    rnorm_ref = norm(r_ref)
     rnorm0 = norm(r0)
-    floor_b = norm(both[:, 1] - r0)
+    floor_b = norm(cols[:, 2] - r_ref)
     atol_eff = jnp.maximum(jnp.asarray(cfg.atol, N0.dtype),
                            cfg.floor_mult * floor_b)
+    # nothing to solve: the TRUSTED state already sits at the floor
+    skip = rnorm_ref <= atol_eff
+
+    # relative tests are anchored at the trusted state's residual scale
+    rscale = jnp.maximum(rnorm_ref, tiny)
 
     def converged_fn(rnorm):
-        return (rnorm < atol_eff) | (rnorm <= cfg.rtol * jnp.maximum(rnorm0, tiny))
+        return (rnorm < atol_eff) | (rnorm <= cfg.rtol * rscale)
 
     def cond(s):
         N, r, rnorm, N_best, rn_best, stall, k, cg_total, bad, done = s
@@ -203,16 +223,19 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         return (N, r, rnorm_new, N_best, rn_best, stall, k + 1,
                 cg_total + lin_info["iters"], bad, done)
 
+    # The guess is never accepted without an iteration (see docstring):
+    # initial 'done' is the trusted-state skip only.
     init = (N0, r0, rnorm0, N0, rnorm0, 0, 0, 0, ~jnp.isfinite(rnorm0),
-            converged_fn(rnorm0))
+            skip)
     N, r, rnorm, N_best, rn_best, stall, k, cg_total, bad, done = \
         jax.lax.while_loop(cond, body, init)
     # On a clean exit keep the last iterate; on a stalled/cycling exit keep
     # the best iterate seen, and accept it if it made a deep relative
     # reduction (roundoff floor or Newton limit cycle, not divergence).
-    N_out = jnp.where(done, N, N_best)
-    rn_out = jnp.where(done, rnorm, rn_best)
-    accepted = done | (rn_out <= cfg.stall_rtol * rnorm0)
+    # On skip, return the trusted state untouched.
+    N_out = jnp.where(skip, Nr, jnp.where(done, N, N_best))
+    rn_out = jnp.where(skip, rnorm_ref, jnp.where(done, rnorm, rn_best))
+    accepted = skip | done | (rn_out <= cfg.stall_rtol * rscale)
     stats = {
         "iters": k,
         "rnorm0": rnorm0,

@@ -51,6 +51,7 @@ class State:
     b: Any      # (n,) hydraulic gap height [m]
     q: Any      # (n, 2) water flux [m^2/s]
     melt: Any   # (n,) lagged melt rate [kg/(m^2 s)]
+    N_prev: Any = None  # (n,) N one step earlier (Newton guess extrapolation)
 
 
 @jax.tree_util.register_dataclass
@@ -103,8 +104,16 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
         # ---- 1. implicit solve for N (b, q, melt frozen; N_n = state.N) ----
         pre = res.precompute_step(mesh, state.N, state.b, state.q, state.melt,
                                   static, dt, p, cfg.quad_degree, sq=sq)
-        N, stats = newton_solve(state.N, pre, mesh, static.dirichlet,
-                                static.N_bdry, p, cfg)
+        # Newton initial guess: linear extrapolation in time when enabled
+        # (measured ~10x smaller initial residuals mid-run vs the
+        # reference's previous-step guess, solvers.py:48); N_n in the lake
+        # storage term stays the true previous-step N.
+        if cfg.extrapolate_guess and state.N_prev is not None:
+            guess = 2.0 * state.N - state.N_prev
+        else:
+            guess = state.N
+        N, stats = newton_solve(guess, pre, mesh, static.dirichlet,
+                                static.N_bdry, p, cfg, N_ref=state.N)
 
         # ---- fused corner gather of [N, b, melt] + cellwise gradients ----
         st = jnp.stack([N, state.b, state.melt], axis=1)         # (n, 3)
@@ -149,7 +158,7 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
         # ---- 5. clamp (reference solvers.py:194-197) ----
         b = jnp.maximum(b, static.b_min)
 
-        new_state = State(N=N, b=b, q=q, melt=melt)
+        new_state = State(N=N, b=b, q=q, melt=melt, N_prev=state.N)
         diag = {
             "newton_iters": stats["iters"],
             "rnorm": stats["rnorm"],

@@ -71,6 +71,7 @@ def test_adaptive_dt_deepens_convergence():
     def final_rnorm(levels):
         hard = dataclasses.replace(cfg, max_iter=3, stall_patience=50,
                                    stall_rtol=1e-30, inc_rtol=0.0,
+                                   extrapolate_guess=False,
                                    adaptive_dt_levels=levels)
         step = jax.jit(make_step_fn(mesh, static, md.params, hard))
         _, d = step(state, jnp.asarray(1080.0, md.dtype))
