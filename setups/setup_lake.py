@@ -46,7 +46,6 @@ def initialize(nx=48, ny=48, lx=40e3, ly=40e3, *, days=180.0, nt_per_day=12,
     pot = np.asarray(background_potential(jnp.asarray(md.z_b),
                                           jnp.asarray(md.z_s), P))
     P_min, P_std = float(pot.min()), float(pot.std())
-    z_b_f, z_s_f = md.z_b.copy(), md.z_s.copy()
 
     def potential_at(p):
         # analytic re-evaluation at arbitrary boundary points

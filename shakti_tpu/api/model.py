@@ -21,10 +21,10 @@ import jax.numpy as jnp
 
 from shakti_tpu.data.interp import GridInterpolator, subset_grid
 from shakti_tpu.mesh import geometry as geo
-from shakti_tpu.mesh.mesh import Mesh, build_mesh
+from shakti_tpu.mesh.mesh import build_mesh
 from shakti_tpu.params import DEFAULT_PARAMS, PhysicalParams
 from shakti_tpu.solve.newton import NewtonConfig
-from shakti_tpu.solve.timestep import State, StaticFields, make_static_fields
+from shakti_tpu.solve.timestep import State, make_static_fields
 
 
 def default_dtype():

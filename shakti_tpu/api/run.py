@@ -102,6 +102,12 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         for k in hist:
             np.save(os.path.join(rdir, f"{k}.npy"), hist[k])
 
+    def write_log():
+        with open(os.path.join(rdir, "log.csv"), "w") as f:
+            f.write("step,t,newton_mean,newton_max,cg_mean,rnorm_max\n")
+            for r in log_rows:
+                f.write(",".join(str(v) for v in r) + "\n")
+
     step_fn = make_step_fn(mesh, static, md.params, cfg)
     runner = jax.jit(lambda s, d: run_window(step_fn, s, d))
 
@@ -138,6 +144,7 @@ def solve(md, *, resume: bool = False, progress: bool = True):
             row += 1
             if io_on and last % nt_check == 0:
                 write_histories()
+                write_log()
                 ckpt.save_state(rdir, state, last + 1, row)
         if progress and (w_idx + 1) % 10 == 0:
             done = last + 1
@@ -147,11 +154,8 @@ def solve(md, *, resume: bool = False, progress: bool = True):
     wall = time.time() - t0
     if io_on:
         write_histories()
+        write_log()
         ckpt.save_state(rdir, state, nt, row)
-        with open(os.path.join(rdir, "log.csv"), "w") as f:
-            f.write("step,t,newton_mean,newton_max,cg_mean,rnorm_max\n")
-            for r in log_rows:
-                f.write(",".join(str(v) for v in r) + "\n")
 
     return {
         "state": state,

@@ -29,7 +29,15 @@ def load_setup(name: str):
     for d in (os.path.join(os.getcwd(), "setups"), os.getcwd()):
         if os.path.exists(os.path.join(d, name + ".py")) and d not in sys.path:
             sys.path.insert(0, d)
-    return importlib.import_module(name)
+    try:
+        return importlib.import_module(name)
+    except ModuleNotFoundError as e:
+        if getattr(e, "name", None) == name:
+            raise SystemExit(
+                f"error: setup module '{name}' not found — looked for "
+                f"{name}.py in ./setups and the current directory, and on "
+                "PYTHONPATH. Pass a module name or a path to a .py file.")
+        raise
 
 
 def main(argv=None):

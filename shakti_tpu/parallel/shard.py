@@ -19,8 +19,9 @@ exchange (SURVEY §2c) — re-shaped for XLA/ICI:
 This "sharded-cells, replicated-nodes" scheme is exact (bit-identical math
 to single-device up to floating-point reduction order) and scales compute
 and cell memory by n_devices; nodal memory is replicated, which comfortably
-fits ~10M-dof problems in HBM.  A fully node-sharded variant with ppermute
-halo exchange is the planned next stage (see parallel/ROADMAP in repo docs).
+fits ~10M-dof problems in HBM.  The fully node-sharded scheme with explicit
+halo exchange lives in parallel/halo.py + parallel/dist.py (the weak-scaling
+path beyond that).
 """
 
 from __future__ import annotations

@@ -169,20 +169,6 @@ def assemble_residual_multi(Ns, pre: StepPre, mesh, params: PhysicalParams):
     return ops.scatter_add_cells(mesh, f(sc))                    # (n, k)
 
 
-def residual_roundoff_floor(N, pre: StepPre, mesh, params: PhysicalParams):
-    """Estimate of the smallest residual norm floating-point cancellation can
-    produce at this state: eps * || scatter(|element contributions|) ||.
-
-    Near equilibrium the assembled residual is a tiny difference of large
-    per-element contributions; its achievable norm is bounded below by
-    roundoff on those contributions.  Used as a dtype-aware absolute
-    convergence floor (critical for f32 on TPU, SURVEY §7 hard part 1)."""
-    N_c = ops.gather_cells(mesh, N)
-    mag = ops.scatter_add_cells(mesh, jnp.abs(corner_residual(N_c, pre, mesh, params)))
-    eps = jnp.asarray(jnp.finfo(N.dtype).eps, N.dtype)
-    return eps * jnp.linalg.norm(mag)
-
-
 def element_jacobian(N, pre: StepPre, mesh, params: PhysicalParams):
     """Element Jacobian blocks J_cij = dF_ci / dN_cj  (c, 3, 3) via
     forward-mode AD — the replacement for UFL `derivative(F, N)`

@@ -108,8 +108,8 @@ def far_field_ratio(N_hist: np.ndarray, far_mask: np.ndarray,
 
 def render_frames(results: dict, out_dir: str, lake_outline=None,
                   every: int = 1, params: PhysicalParams = DEFAULT_PARAMS):
-    """Render per-save map frames (N, b, |q|, lake level trace) as PNGs —
-    the library equivalent of solution-plots.ipynb cell 12's movie frames.
+    """Render per-save map frames (N, b, |q|) as PNGs — the library
+    equivalent of solution-plots.ipynb cell 12's movie frames.
     Requires matplotlib."""
     import matplotlib
     matplotlib.use("Agg")
