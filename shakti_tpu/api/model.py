@@ -83,6 +83,10 @@ class ModelSetup:
         self.timesteps = None
         self.nt_save = None
         self.nt_check = None
+        # optional seasonal modulation of `inputs`: (amplitude, period_s,
+        # phase) -> inputs * max(0, 1 + A sin(2 pi t/T + phase)) per step
+        # (a capability beyond the reference's static inputs)
+        self.seasonal_inputs = None
 
         # solver configuration (new: the reference hardcodes PETSc defaults)
         self.solver = NewtonConfig()

@@ -29,7 +29,8 @@ import jax
 import numpy as np
 
 from shakti_tpu.io import checkpoint as ckpt
-from shakti_tpu.solve.timestep import make_step_fn, run_window, timestep_sizes
+from shakti_tpu.solve.timestep import (make_forcing, make_step_fn,
+                                       run_window)
 
 
 class ConvergenceError(RuntimeError):
@@ -62,7 +63,8 @@ def solve(md, *, resume: bool = False, progress: bool = True):
     nt = timesteps.size
     nt_save = int(md.nt_save) if md.nt_save else 1
     nt_check = int(md.nt_check) if md.nt_check else max(nt_save * 50, nt_save)
-    dts = timestep_sizes(timesteps, dtype=md.dtype)
+    forcing = make_forcing(timesteps, dtype=md.dtype,
+                           seasonal=getattr(md, 'seasonal_inputs', None))
     n_saves = -(-nt // nt_save)          # saves at i = 0, nt_save, 2 nt_save, ...
     n_nodes = mesh.n_nodes
 
@@ -116,7 +118,8 @@ def solve(md, *, resume: bool = False, progress: bool = True):
     t0 = time.time()
     windows = list(_save_windows(nt, nt_save, start_step))
     for w_idx, (i0, wlen, do_save) in enumerate(windows):
-        state, diags = runner(state, dts[i0:i0 + wlen])
+        f_win = jax.tree_util.tree_map(lambda a: a[i0:i0 + wlen], forcing)
+        state, diags = runner(state, f_win)
         conv = np.asarray(diags["converged"])
         if not conv.all():
             bad = i0 + int(np.argmin(conv))

@@ -100,10 +100,21 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
     sq = res.static_quad_fields(mesh, static, cfg.quad_degree,
                                 mesh.nodes.dtype)
 
-    def step(state: State, dt):
+    def step(state: State, forcing):
+        # ``forcing`` is a plain dt scalar, or a dict with 'dt' and optional
+        # per-step scalars ('inputs_scale' for seasonal/meltwater forcing —
+        # a capability the reference lacks: its inputs are static Functions,
+        # model_setup.py:47).
+        if isinstance(forcing, dict):
+            dt = forcing["dt"]
+            scale = forcing.get("inputs_scale")
+        else:
+            dt, scale = forcing, None
+        sq_t = dict(sq, inputs_q=sq["inputs_q"] * scale) if scale is not None \
+            else sq
         # ---- 1. implicit solve for N (b, q, melt frozen; N_n = state.N) ----
         pre = res.precompute_step(mesh, state.N, state.b, state.q, state.melt,
-                                  static, dt, p, cfg.quad_degree, sq=sq)
+                                  static, dt, p, cfg.quad_degree, sq=sq_t)
         # Newton initial guess: linear extrapolation in time when enabled
         # (measured ~10x smaller initial residuals mid-run vs the
         # reference's previous-step guess, solvers.py:48); N_n in the lake
@@ -218,3 +229,21 @@ def timestep_sizes(timesteps, dtype=None):
     dts[0] = 0.1 * abs(t[1] - t[0])
     dts[1:] = np.abs(np.diff(t))
     return jnp.asarray(dts, dtype=dtype)
+
+
+def make_forcing(timesteps, dtype=None, seasonal=None):
+    """Per-step forcing pytree for run_window.
+
+    ``seasonal`` = (amplitude, period_s, phase) modulates the meltwater
+    input field per step: inputs * max(0, 1 + A sin(2 pi t/T + phase))
+    (BASELINE configs[1] 'seasonal melt forcing'; the reference's inputs
+    are time-independent).
+    """
+    import numpy as np
+    f = {"dt": timestep_sizes(timesteps, dtype)}
+    if seasonal is not None:
+        amp, period, phase = seasonal
+        t = jnp.asarray(np.asarray(timesteps, dtype=np.float64), dtype=dtype)
+        f["inputs_scale"] = jnp.maximum(
+            0.0, 1.0 + amp * jnp.sin(2.0 * jnp.pi * t / period + phase))
+    return f
