@@ -92,6 +92,7 @@ def solve(md, *, resume: bool = False, progress: bool = True):
                         os.path.join(rdir, os.path.basename(str(md.setup_file))))
 
     hist = {k: np.zeros((n_saves, n_nodes)) for k in ("N", "b", "qx", "qy")}
+    log_rows = []
     if io_on and start_step > 0:
         for k in hist:
             f = os.path.join(rdir, f"{k}.npy")
@@ -99,6 +100,13 @@ def solve(md, *, resume: bool = False, progress: bool = True):
                 old = np.load(f)
                 m = min(old.shape[0], n_saves)
                 hist[k][:m] = old[:m]
+        # preserve pre-resume diagnostics (log.csv is rewritten whole)
+        logf = os.path.join(rdir, "log.csv")
+        if os.path.exists(logf):
+            with open(logf) as f:
+                log_rows = [tuple(ln.strip().split(","))
+                            for ln in f.readlines()[1:]
+                            if ln.strip() and int(ln.split(",")[0]) < start_step]
 
     def write_histories():
         for k in hist:
@@ -113,7 +121,6 @@ def solve(md, *, resume: bool = False, progress: bool = True):
     step_fn = make_step_fn(mesh, static, md.params, cfg)
     runner = jax.jit(lambda s, d: run_window(step_fn, s, d))
 
-    log_rows = []
     newton_total = cg_total = 0
     t0 = time.time()
     windows = list(_save_windows(nt, nt_save, start_step))

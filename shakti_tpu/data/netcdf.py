@@ -49,6 +49,16 @@ def read_atl14(path: str):
 
 
 def read_aq1(path: str):
-    """AQ1 geothermal heat flux (reference setup_cooke2.py:57-62).
-    AQ1 stores mW/m^2 in 'Q' on axes 'X'/'Y'."""
-    return read_grid(path, "Q", xvar="X", yvar="Y")
+    """AQ1 geothermal heat flux (reference setup_cooke2.py:57-62):
+    'Q' on axes 'X'/'Y'.
+
+    The framework's G field is W/m^2 (typical Antarctic values 0.04-0.12);
+    AQ1 distributions commonly store mW/m^2 (values ~40-120).  The
+    reference loads Q without conversion, which is only consistent if its
+    file stores W/m^2 — to be robust to either convention we detect the
+    unit from the magnitude and rescale mW/m^2 -> W/m^2."""
+    x, y, q = read_grid(path, "Q", xvar="X", yvar="Y")
+    finite = q[np.isfinite(q)]
+    if finite.size and np.median(np.abs(finite)) > 1.0:   # mW/m^2
+        q = q * 1e-3
+    return x, y, q

@@ -164,8 +164,6 @@ def disk_mesh(n_rings: int, radius: float = 1.0, center=(0.0, 0.0)):
             a_in = in0 + (ii % k_in)
             a_out = out0 + (oo % k_out)
             # advance whichever ring is 'behind' in angle
-            ang_in_next = 2 * np.pi * ((ii + 1) % k_in) / k_in + (2 * np.pi) * ((ii + 1) // k_in)
-            ang_out_next = 2 * np.pi * ((oo + 1) % k_out) / k_out + (2 * np.pi) * ((oo + 1) // k_out)
             ang_in_next = 2 * np.pi * (ii + 1) / k_in
             ang_out_next = 2 * np.pi * (oo + 1) / k_out
             if ang_out_next <= ang_in_next:

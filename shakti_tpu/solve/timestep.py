@@ -189,14 +189,21 @@ def with_dt_halving(base, level: int = 0):
     """Wrap a step function with one dt-halving retry level: a failed step
     is redone as two half-dt sub-steps (in-graph lax.cond; SURVEY §5 —
     replaces the reference's assert-abort with graceful dt fallback).
-    Stack levels for repeated halving."""
+    Stack levels for repeated halving.  ``forcing`` may be a plain dt
+    scalar or the run layer's forcing dict (only its 'dt' entry is halved)."""
 
-    def stepped(state, dt):
-        s1, d1 = base(state, dt)
+    def halve(forcing):
+        if isinstance(forcing, dict):
+            return dict(forcing, dt=0.5 * forcing["dt"])
+        return 0.5 * forcing
+
+    def stepped(state, forcing):
+        s1, d1 = base(state, forcing)
 
         def retry(_):
-            sa, da = base(state, 0.5 * dt)
-            sb, db = base(sa, 0.5 * dt)
+            half = halve(forcing)
+            sa, da = base(state, half)
+            sb, db = base(sa, half)
             diag = {
                 "newton_iters": da["newton_iters"] + db["newton_iters"],
                 "rnorm": db["rnorm"],
