@@ -151,12 +151,17 @@ class ModelSetup:
         all outputs stay in the caller's original node order."""
         op = self.operator
         if op == "auto":
-            op = "bell" if jax.default_backend() == "tpu" else "ell"
+            if jax.default_backend() == "tpu":
+                # block-ELL through medium sizes; block-CSR beyond (padding
+                # waste and memory ceiling matter once vals >~ 1 GB)
+                op = "bell" if self.nodes.shape[0] <= 200_000 else "bcsr"
+            else:
+                op = "ell"
 
         n = self.nodes.shape[0]
         nodes, cells = self.nodes, self.cells
         perm = None
-        if op == "bell":
+        if op in ("bell", "bcsr"):
             from shakti_tpu.parallel.partition import rcb_order
             perm = rcb_order(nodes)
             iperm = np.argsort(perm)

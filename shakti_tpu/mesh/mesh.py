@@ -56,6 +56,16 @@ class Mesh:
     bell_diag_pos: Any = None   # (n_nodes,) flat diagonal positions
     bell_B: int | None = dataclasses.field(default=None,
                                            metadata=dict(static=True))
+    # Optional block-CSR structure (fem/bcsr.py): the large-mesh SpMV path
+    # (no block-row padding; ~40% less HBM traffic on jittered meshes).
+    bcsr_brow: Any = None       # (nnzb,) int32 block-row ids (sorted)
+    bcsr_bcol: Any = None       # (nnzb,) int32 block-col ids
+    bcsr_map: Any = None        # (9 * n_cells,) element->flat slot mapping
+    bcsr_diag_pos: Any = None   # (n_nodes,) flat diagonal positions
+    bcsr_B: int | None = dataclasses.field(default=None,
+                                           metadata=dict(static=True))
+    bcsr_NB: int | None = dataclasses.field(default=None,
+                                            metadata=dict(static=True))
     # Node-sharded SPMD (parallel/halo.py): when set, this Mesh is one
     # device's owned+ghost view; assembly completes via halo.accumulate and
     # reductions via halo.dot/norm.
@@ -136,6 +146,17 @@ def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
         ell_cols = jnp.asarray(cols_np)
         ell_map = jnp.asarray(map_np)
         ell_diag_slot = jnp.asarray(diag_np)
+    bcsr_brow = bcsr_bcol = bcsr_map = bcsr_diag_pos = None
+    bcsr_B = bcsr_NB = None
+    if operator in ("bcsr",):
+        from shakti_tpu.fem.bcsr import build_bcsr
+        br, bc, smap, dpos, NB = build_bcsr(cells, nodes.shape[0], bell_block)
+        bcsr_brow = jnp.asarray(br)
+        bcsr_bcol = jnp.asarray(bc)
+        bcsr_map = jnp.asarray(smap)
+        bcsr_diag_pos = jnp.asarray(dpos)
+        bcsr_B = bell_block
+        bcsr_NB = int(NB)
     if operator in ("bell", "both"):
         from shakti_tpu.fem.bell import build_block_ell
         nbr_np, bmap_np, dpos_np, _ = build_block_ell(cells, nodes.shape[0],
@@ -155,4 +176,6 @@ def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
         ell_cols=ell_cols, ell_map=ell_map, ell_diag_slot=ell_diag_slot,
         bell_nbr=bell_nbr, bell_map=bell_map, bell_diag_pos=bell_diag_pos,
         bell_B=bell_B,
+        bcsr_brow=bcsr_brow, bcsr_bcol=bcsr_bcol, bcsr_map=bcsr_map,
+        bcsr_diag_pos=bcsr_diag_pos, bcsr_B=bcsr_B, bcsr_NB=bcsr_NB,
     )

@@ -222,6 +222,21 @@ def make_operator(J_c, mesh, dirichlet):
     Shard-local meshes (parallel/shard.py) fall back to the cell-based
     matvec + psum path.
     """
+    if mesh.bcsr_brow is not None:
+        from shakti_tpu.fem import bcsr as bcsrm
+        nnzb = mesh.bcsr_brow.shape[0]
+        vals = -bcsrm.bcsr_from_elements(J_c, mesh.bcsr_map, nnzb, mesh.bcsr_B)
+        a_diag = bcsrm.bcsr_diag(vals, mesh.bcsr_diag_pos)
+        n = mesh.n_nodes
+
+        def matvec(x):
+            xf = jnp.where(dirichlet, 0.0, x)
+            y = bcsrm.bcsr_matvec(vals, mesh.bcsr_brow, mesh.bcsr_bcol, xf,
+                                  n, mesh.bcsr_NB)
+            return jnp.where(dirichlet, x, y)
+
+        return matvec, a_diag
+
     if mesh.bell_nbr is not None:
         import os
         from shakti_tpu.fem import bell as bellm
