@@ -118,8 +118,28 @@ def solve(md, *, resume: bool = False, progress: bool = True):
             for r in log_rows:
                 f.write(",".join(str(v) for v in r) + "\n")
 
-    step_fn = make_step_fn(mesh, static, md.params, cfg)
-    runner = jax.jit(lambda s, d: run_window(step_fn, s, d))
+    # distributed (node-sharded SPMD) execution through the same protocol:
+    # set md.distributed = True (or CLI --dist) with >1 jax device
+    dist_on = bool(getattr(md, "distributed", False)) and len(jax.devices()) > 1
+    if dist_on:
+        from shakti_tpu.parallel import halo as _H
+        from shakti_tpu.parallel.dist import (gather_state,
+                                              make_distributed_runner)
+        runner, dist_state0, plan = make_distributed_runner(md)
+        if start_step == 0:
+            state = dist_state0
+        else:
+            # localize the checkpointed (global solver-order) state
+            import jax.numpy as jnp
+            loc = lambda a: jnp.asarray(
+                _H.localize_nodal(plan, np.asarray(a)).reshape(
+                    (-1,) + np.asarray(a).shape[1:]), dtype=md.dtype)
+            state = jax.tree_util.tree_map(loc, state)
+        extract = lambda st: gather_state(plan, st)
+    else:
+        step_fn = make_step_fn(mesh, static, md.params, cfg)
+        runner = jax.jit(lambda s, d: run_window(step_fn, s, d))
+        extract = lambda st: st
 
     newton_total = cg_total = 0
     t0 = time.time()
@@ -143,11 +163,12 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         if do_save:
             # histories are written in the caller's original node order
             # (freeze may renumber nodes for block locality)
+            gs = extract(state)
             unp = md.node_iperm if md.node_iperm is not None else slice(None)
-            hist["N"][row] = np.asarray(state.N)[unp]
-            hist["b"][row] = np.asarray(state.b)[unp]
-            hist["qx"][row] = np.asarray(state.q[:, 0])[unp]
-            hist["qy"][row] = np.asarray(state.q[:, 1])[unp]
+            hist["N"][row] = np.asarray(gs.N)[unp]
+            hist["b"][row] = np.asarray(gs.b)[unp]
+            hist["qx"][row] = np.asarray(gs.q[:, 0])[unp]
+            hist["qy"][row] = np.asarray(gs.q[:, 1])[unp]
             log_rows.append((last, float(timesteps[last]), float(ni.mean()),
                              int(ni.max()), float(ci.mean()),
                              float(np.asarray(diags["rnorm"]).max())))
@@ -155,13 +176,14 @@ def solve(md, *, resume: bool = False, progress: bool = True):
             if io_on and last % nt_check == 0:
                 write_histories()
                 write_log()
-                ckpt.save_state(rdir, state, last + 1, row)
+                ckpt.save_state(rdir, gs, last + 1, row)
         if progress and (w_idx + 1) % 10 == 0:
             done = last + 1
             print(f"Time step {done} of {nt} completed ({done / nt * 100:.1f}%)",
                   end="\r", flush=True)
 
     wall = time.time() - t0
+    state = extract(state)
     if io_on:
         write_histories()
         write_log()

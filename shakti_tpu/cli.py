@@ -46,6 +46,8 @@ def main(argv=None):
     ap.add_argument("setup", help="setup module name (in ./setups) or a .py path")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the checkpoint in the results directory")
+    ap.add_argument("--dist", action="store_true",
+                    help="node-sharded SPMD over all local jax devices")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -53,6 +55,8 @@ def main(argv=None):
     md = setup.initialize()
     if md.setup_file is None and getattr(setup, "__file__", None):
         md.setup_file = setup.__file__
+    if args.dist:
+        md.distributed = True
     out = md.solve(resume=args.resume, progress=not args.quiet)
     print(f"\ncompleted {out['steps']} steps in {out['wall_time']:.2f} s "
           f"({1e3 * out['wall_time'] / max(out['steps'], 1):.3f} ms/step)")

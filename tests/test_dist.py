@@ -102,3 +102,59 @@ def test_distributed_run_matches_single_device(ndev):
     np.testing.assert_allclose(np.asarray(s1.b), np.asarray(s2.b), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(s1.q), np.asarray(s2.q),
                                rtol=1e-6, atol=1e-18)
+
+
+def test_distributed_solve_protocol_matches_single(tmp_path):
+    """md.distributed=True runs the full IO protocol on 8 devices and must
+    produce the same results files as the single-device path."""
+    import os
+    import dataclasses
+    from shakti_tpu.api.run import solve
+
+    def build(name):
+        md = slab.initialize(nx=10, ny=10, days=2.0, nt_per_day=4,
+                             results_name=str(tmp_path / name))
+        # the dist path forces jacobi; use it on both sides for comparison
+        md.solver = dataclasses.replace(md.solver, precond="jacobi")
+        return md
+
+    md1 = build("single")
+    out1 = solve(md1, progress=False)
+
+    md2 = build("dist")
+    md2.distributed = True
+    out2 = solve(md2, progress=False)
+
+    np.testing.assert_allclose(out1["history"]["N"], out2["history"]["N"],
+                               rtol=1e-8)
+    np.testing.assert_allclose(out1["history"]["b"], out2["history"]["b"],
+                               rtol=1e-8)
+    for f in ("N.npy", "checkpoint.npz", "log.csv"):
+        assert os.path.exists(os.path.join(str(tmp_path / "dist"), f))
+
+
+def test_distributed_resume(tmp_path):
+    """Checkpoint/resume across the distributed path."""
+    import dataclasses
+    from shakti_tpu.api.run import solve
+
+    def build(name):
+        md = slab.initialize(nx=8, ny=8, days=5.0, nt_per_day=4,
+                             results_name=str(tmp_path / name))
+        md.solver = dataclasses.replace(md.solver, precond="jacobi")
+        md.nt_check = md.nt_save
+        md.distributed = True
+        return md
+
+    md_full = build("full")
+    out_full = solve(md_full, progress=False)
+
+    md_a = build("split")
+    md_a.timesteps = md_a.timesteps[: md_a.timesteps.size // 2 + 1]
+    solve(md_a, progress=False)
+    md_b = build("split_resume")
+    md_b.results_name = md_a.results_name
+    out_b = solve(md_b, resume=True, progress=False)
+
+    np.testing.assert_allclose(np.asarray(out_full["state"].N),
+                               np.asarray(out_b["state"].N), rtol=1e-8)
