@@ -22,3 +22,26 @@ Layer map (mirrors SURVEY.md §1 of the reference, re-provided TPU-first):
 __version__ = "0.1.0"
 
 from shakti_tpu.params import PhysicalParams, DEFAULT_PARAMS  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax at package import):
+
+    ModelSetup, solve, NewtonConfig, rectangle_mesh, polygon_mesh, read_msh,
+    post (module)."""
+    import importlib
+
+    lazy = {
+        "ModelSetup": ("shakti_tpu.api.model", "ModelSetup"),
+        "solve": ("shakti_tpu.api.run", "solve"),
+        "NewtonConfig": ("shakti_tpu.solve.newton", "NewtonConfig"),
+        "rectangle_mesh": ("shakti_tpu.mesh.generate", "rectangle_mesh"),
+        "polygon_mesh": ("shakti_tpu.mesh.generate", "polygon_mesh"),
+        "read_msh": ("shakti_tpu.mesh.msh_io", "read_msh"),
+        "post": ("shakti_tpu.post", None),
+    }
+    if name in lazy:
+        mod, attr = lazy[name]
+        m = importlib.import_module(mod)
+        return m if attr is None else getattr(m, attr)
+    raise AttributeError(f"module 'shakti_tpu' has no attribute {name!r}")
