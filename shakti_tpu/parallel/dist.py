@@ -42,6 +42,26 @@ def build_distributed(md, jmesh, axis: str = "x"):
     cell_ids = plan["cell_ids"]                       # (P, cmax)
     loc = lambda f: H.localize_nodal(plan, np.asarray(f))
 
+    # per-shard scalar-ELL operator structure on the local numbering
+    # (Krylov matvecs become local gather-only + one halo accumulate,
+    # instead of cell gather + element matvec + scatter per iteration)
+    from shakti_tpu.fem.ell import build_ell_map
+    L = plan["L"]
+    ell_parts = [build_ell_map(plan["local_cells"][p], L)
+                 for p in range(Pn)]
+    K = max(c.shape[1] for c, _, _ in ell_parts)
+    ell_cols = np.empty((Pn, L, K), dtype=np.int32)
+    ell_map = np.empty((Pn, plan["local_cells"].shape[1] * 9), dtype=np.int32)
+    ell_diag = np.empty((Pn, L), dtype=np.int32)
+    for p, (cols, smap, dslot) in enumerate(ell_parts):
+        Kp = cols.shape[1]
+        ell_cols[p] = np.concatenate(
+            [cols, np.broadcast_to(np.arange(L, dtype=np.int32)[:, None],
+                                   (L, K - Kp))], axis=1) if Kp < K else cols
+        # re-stride flat slots from row-stride Kp to row-stride K
+        ell_map[p] = (smap // Kp) * K + smap % Kp
+        ell_diag[p] = dslot
+
     payload = {
         # cell data, (P*cmax, ...)
         "cells": plan["local_cells"].reshape(-1, 3).astype(np.int32),
@@ -65,6 +85,10 @@ def build_distributed(md, jmesh, axis: str = "x"):
         "b0": loc(state.b).reshape(-1),
         "q0": loc(state.q).reshape(-1, 2),
         "melt0": loc(state.melt).reshape(-1),
+        # per-shard ELL operator, (P*L, K) / (P*9cmax,) / (P*L,)
+        "ell_cols": ell_cols.reshape(-1, K),
+        "ell_map": ell_map.reshape(-1),
+        "ell_diag": ell_diag.reshape(-1),
         # halo plan, (P*P, H) / (P*L,)
         "send_idx": plan["send_idx"].reshape(-1, plan["send_idx"].shape[-1]),
         "send_valid": plan["send_valid"].reshape(-1, plan["send_valid"].shape[-1]),
@@ -94,12 +118,15 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x"):
 
     def body(cells, area, grads, valid, gb0,
              nodes, node_area, z_b, z_s, G, inputs, storage, dirichlet,
+             ell_cols_l, ell_map_l, ell_diag_l,
              send_idx, send_valid, recv_slot, owned_mask,
              N_bdry, b_min, state, dts):
         halo = H.Halo(send_idx=send_idx, send_valid=send_valid,
                       recv_slot=recv_slot, owned_mask=owned_mask, axis=axis)
         lmesh = Mesh(nodes=nodes, cells=cells, area=area, grads=grads,
-                     node_area=node_area, cell_valid=valid, halo=halo)
+                     node_area=node_area, cell_valid=valid, halo=halo,
+                     ell_cols=ell_cols_l, ell_map=ell_map_l,
+                     ell_diag_slot=ell_diag_l)
         lstatic = StaticFields(z_b=z_b, z_s=z_s, G=G, inputs=inputs,
                                storage=storage, gb0=gb0,
                                dirichlet=dirichlet.astype(bool),
@@ -109,7 +136,8 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x"):
 
     sharded = shard_map(
         body, mesh=jmesh,
-        in_specs=(pl,) * 5 + (pl,) * 8 + (pl,) * 4 + (rep, rep, pl, rep),
+        in_specs=(pl,) * 5 + (pl,) * 8 + (pl,) * 3 + (pl,) * 4
+                 + (rep, rep, pl, rep),
         out_specs=(pl, rep),
     )
 
@@ -124,6 +152,9 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x"):
             + [ar("nodes", dtype), ar("node_area", dtype), ar("z_b", dtype),
                ar("z_s", dtype), ar("G", dtype), ar("inputs", dtype),
                ar("storage", dtype), ar("dirichlet", dtype)]
+            + [jnp.asarray(payload["ell_cols"]),
+               jnp.asarray(payload["ell_map"]),
+               jnp.asarray(payload["ell_diag"])]
             + [jnp.asarray(payload["send_idx"]),
                jnp.asarray(payload["send_valid"]),
                jnp.asarray(payload["recv_slot"]), ar("owned_mask", dtype)]

@@ -263,10 +263,16 @@ def make_operator(J_c, mesh, dirichlet):
         n, K = mesh.ell_cols.shape
         vals = -ellm.ell_from_elements(J_c, mesh.ell_map, n, K)
         a_diag = ellm.ell_diag(vals, mesh.ell_diag_slot)
+        if mesh.halo is not None:
+            # shard-local ELL rows hold only this device's cell
+            # contributions; complete them across partition boundaries
+            a_diag = mesh.halo.accumulate(a_diag)
 
         def matvec(x):
             xf = jnp.where(dirichlet, 0.0, x)
             y = ellm.ell_matvec(vals, mesh.ell_cols, xf)
+            if mesh.halo is not None:
+                y = mesh.halo.accumulate(y)
             return jnp.where(dirichlet, x, y)
 
         return matvec, a_diag
