@@ -140,6 +140,30 @@ class ModelSetup:
             return np.zeros(0, dtype=np.int64)
         return geo.locate_boundary_nodes(self.nodes, self.cells, self.OutflowBoundary)
 
+    def to_user_order(self, arr):
+        """Map a solver-order nodal array (e.g. out['state'].N) back to this
+        setup's original node order.  No-op when freeze() did not renumber."""
+        a = np.asarray(arr)
+        return a if self.node_iperm is None else a[self.node_iperm]
+
+    def validate(self):
+        """Fail early with actionable messages (the reference crashes with
+        raw TypeErrors when e.g. OutflowBoundary is unset, solvers.py:22)."""
+        if self.timesteps is None or np.size(self.timesteps) < 2:
+            raise ValueError(
+                "md.timesteps must be an array of at least 2 times "
+                "(e.g. np.linspace(0, t_final, n_steps))")
+        if self.outflow_on and self.OutflowBoundary is None:
+            raise ValueError(
+                "outflow_on=True but md.OutflowBoundary is unset; provide a "
+                "boundary predicate (coords (m,2) -> bool) or set "
+                "md.outflow_on = False for a no-outflow run")
+        for name in ("z_b", "z_s", "G", "inputs", "b_init", "N_init"):
+            a = getattr(self, name)
+            if np.asarray(a).shape[0] != self.nodes.shape[0]:
+                raise ValueError(f"md.{name} has {np.asarray(a).shape[0]} "
+                                 f"entries for {self.nodes.shape[0]} nodes")
+
     def freeze(self):
         """Build the immutable device-side problem:
         (mesh, static_fields, initial_state, newton_config).
@@ -149,6 +173,7 @@ class ModelSetup:
         matvecs run on the MXU (fem/bell.py).  ``self.node_iperm`` is set to
         the solver-order -> user-order permutation; the run layer uses it so
         all outputs stay in the caller's original node order."""
+        self.validate()
         op = self.operator
         if op == "auto":
             if jax.default_backend() == "tpu":

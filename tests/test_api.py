@@ -82,3 +82,72 @@ def test_nonconvergence_raises():
     md.solver = NewtonConfig(max_iter=0)   # force failure
     with pytest.raises(ConvergenceError):
         solve(md, progress=False)
+
+
+def test_validation_errors():
+    import numpy as np
+    from shakti_tpu.api.model import ModelSetup
+    from shakti_tpu.mesh.generate import rectangle_mesh
+
+    nodes, cells = rectangle_mesh(4, 4, 1.0, 1.0)
+    md = ModelSetup(nodes, cells)
+    md.OutflowBoundary = lambda p: p[:, 0] < 1e-9
+    with pytest.raises(ValueError, match="timesteps"):
+        md.freeze()
+    md.timesteps = np.linspace(0, 10.0, 4)
+    md.OutflowBoundary = None
+    with pytest.raises(ValueError, match="OutflowBoundary"):
+        md.freeze()
+    md.outflow_on = False
+    md.z_b = np.zeros(3)        # wrong length
+    with pytest.raises(ValueError, match="z_b"):
+        md.freeze()
+
+
+def test_to_user_order_roundtrip():
+    import numpy as np
+    import setups.setup_slab as sl
+    md = sl.initialize(nx=8, ny=8, days=1.0, nt_per_day=4)
+    md.operator = "bell"        # forces renumbering
+    mesh, static, state, cfg = md.freeze()
+    assert md.node_iperm is not None
+    # solver-order nodes mapped back must equal the original coordinates
+    np.testing.assert_allclose(md.to_user_order(np.asarray(mesh.nodes)),
+                               md.nodes)
+
+
+def test_bicgstab_path():
+    import dataclasses
+    import numpy as np
+    import setups.setup_slab as sl
+    from shakti_tpu.api.run import solve
+    md = sl.initialize(nx=8, ny=8, days=1.0, nt_per_day=4)
+    md.solver = dataclasses.replace(md.solver, krylov="bicgstab")
+    out = solve(md, progress=False)
+    assert np.isfinite(out["history"]["N"]).all()
+
+
+def test_msh_v22_reader(tmp_path):
+    from shakti_tpu.mesh.msh_io import read_msh
+    txt = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+4
+1 0 0 0
+2 1 0 0
+3 1 1 0
+4 0 1 0
+$EndNodes
+$Elements
+3
+1 15 2 0 1 1
+2 2 2 0 1 1 2 3
+3 2 2 0 1 1 3 4
+$EndElements
+"""
+    p = tmp_path / "v22.msh"
+    p.write_text(txt)
+    nodes, cells = read_msh(str(p))
+    assert nodes.shape == (4, 2)
+    np.testing.assert_array_equal(cells, [[0, 1, 2], [0, 2, 3]])
