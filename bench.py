@@ -12,21 +12,9 @@ accelerator, saves amortized at the reference's cadence (every 24 steps).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
-import os
-import sys
+from shakti_tpu.utils.backend import ensure_backend
 
-# The axon TPU tunnel plugin intermittently fails to register under the
-# pinned JAX_PLATFORMS=axon ("Backend 'axon' is not in the list of known
-# backends"). Backend-init failure is cached inside jax, so on failure we
-# re-exec once with auto-discovery instead.
-if os.environ.get("_SHAKTI_BACKEND_RETRY") != "1":
-    try:
-        import jax
-        jax.devices()
-    except RuntimeError:
-        os.environ["JAX_PLATFORMS"] = ""
-        os.environ["_SHAKTI_BACKEND_RETRY"] = "1"
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+ensure_backend()
 
 import json
 import sys

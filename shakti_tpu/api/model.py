@@ -159,10 +159,16 @@ class ModelSetup:
                 "boundary predicate (coords (m,2) -> bool) or set "
                 "md.outflow_on = False for a no-outflow run")
         for name in ("z_b", "z_s", "G", "inputs", "b_init", "N_init"):
-            a = getattr(self, name)
-            if np.asarray(a).shape[0] != self.nodes.shape[0]:
-                raise ValueError(f"md.{name} has {np.asarray(a).shape[0]} "
-                                 f"entries for {self.nodes.shape[0]} nodes")
+            a = np.asarray(getattr(self, name), dtype=object
+                           if getattr(self, name) is None else None)
+            if getattr(self, name) is None or np.ndim(a) == 0:
+                raise ValueError(
+                    f"md.{name} must be a per-node array of length "
+                    f"{self.nodes.shape[0]} (got a scalar/None; use "
+                    f"np.full(md.x.size, value) for uniform fields)")
+            if a.shape[0] != self.nodes.shape[0]:
+                raise ValueError(f"md.{name} has {a.shape[0]} entries for "
+                                 f"{self.nodes.shape[0]} nodes")
 
     def freeze(self):
         """Build the immutable device-side problem:
@@ -182,11 +188,16 @@ class ModelSetup:
                 op = "bell" if self.nodes.shape[0] <= 200_000 else "bcsr"
             else:
                 op = "ell"
+        if getattr(self, "distributed", False):
+            # distributed runs build their own per-shard operators
+            # (parallel/dist.py); skip the global operator structures
+            op = "none"
 
         n = self.nodes.shape[0]
         nodes, cells = self.nodes, self.cells
         perm = None
-        if op in ("bell", "bcsr"):
+        reorder = op in ("bell", "bcsr") or getattr(self, "distributed", False)
+        if reorder:
             from shakti_tpu.parallel.partition import rcb_order
             perm = rcb_order(nodes)
             iperm = np.argsort(perm)
@@ -197,7 +208,14 @@ class ModelSetup:
             self.node_iperm = None
         p = (lambda a: np.asarray(a)[perm]) if perm is not None else np.asarray
 
-        mesh = build_mesh(nodes, cells, dtype=self.dtype, operator=op)
+        # block size for the blocked operators: full MXU tiles through the
+        # mid range; smaller blocks at very large n so vals fits HBM
+        # (fem/bcsr.py memory notes); override via md.operator_block
+        blk = getattr(self, "operator_block", None)
+        if blk is None:
+            blk = 128 if n <= 2_500_000 else (32 if n <= 6_000_000 else 16)
+        mesh = build_mesh(nodes, cells, dtype=self.dtype, operator=op,
+                          bell_block=blk)
         dnodes = geo.locate_boundary_nodes(nodes, cells, self.OutflowBoundary) \
             if (self.outflow_on and self.OutflowBoundary is not None) \
             else np.zeros(0, dtype=np.int64)

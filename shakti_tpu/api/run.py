@@ -58,7 +58,8 @@ def solve(md, *, resume: bool = False, progress: bool = True):
     aggregated diagnostics.  Writes the reference-compatible results
     directory when ``md.results_name`` is set.
     """
-    mesh, static, state, cfg = md.freeze()
+    md.validate()
+    dist_on = bool(getattr(md, "distributed", False)) and len(jax.devices()) > 1
     timesteps = np.asarray(md.timesteps, dtype=np.float64)
     nt = timesteps.size
     nt_save = int(md.nt_save) if md.nt_save else 1
@@ -66,7 +67,8 @@ def solve(md, *, resume: bool = False, progress: bool = True):
     forcing = make_forcing(timesteps, dtype=md.dtype,
                            seasonal=getattr(md, 'seasonal_inputs', None))
     n_saves = -(-nt // nt_save)          # saves at i = 0, nt_save, 2 nt_save, ...
-    n_nodes = mesh.n_nodes
+    n_nodes = md.nodes.shape[0]
+    state = None
 
     io_on = md.results_name is not None
     start_step, row = 0, 0
@@ -120,7 +122,6 @@ def solve(md, *, resume: bool = False, progress: bool = True):
 
     # distributed (node-sharded SPMD) execution through the same protocol:
     # set md.distributed = True (or CLI --dist) with >1 jax device
-    dist_on = bool(getattr(md, "distributed", False)) and len(jax.devices()) > 1
     if dist_on:
         from shakti_tpu.parallel import halo as _H
         from shakti_tpu.parallel.dist import (gather_state,
@@ -137,6 +138,9 @@ def solve(md, *, resume: bool = False, progress: bool = True):
             state = jax.tree_util.tree_map(loc, state)
         extract = lambda st: gather_state(plan, st)
     else:
+        mesh, static, state0, cfg = md.freeze()
+        if state is None:
+            state = state0
         step_fn = make_step_fn(mesh, static, md.params, cfg)
         runner = jax.jit(lambda s, d: run_window(step_fn, s, d))
         extract = lambda st: st

@@ -11,8 +11,10 @@ Block-CSR stores only the nonzero blocks:
   * matvec: xg = xb[bcol] (row-granular gather), z = batched matmul,
     y = segment-sum of z over brow — a ROW-granular scatter of 128-lane
     rows, which vectorizes well (unlike element scatters);
-  * element Jacobians fold in with one segment-sum (host-precomputed
-    slot map), exactly like the other formats.
+  * element Jacobians fold in with one 2-D scatter-add addressed by
+    (block id, within-block offset) int32 pairs — flat addressing would
+    overflow int32 beyond ~3M nodes, and jax silently canonicalizes int64
+    indices to int32 when x64 is off (the production TPU configuration).
 
 Memory at 10M dof with B=16: ~5.8 GB of values — single-chip feasible,
 where block-ELL at B=128 would need ~80 GB.
@@ -31,10 +33,9 @@ def build_bcsr(cells: np.ndarray, n_nodes: int, B: int = 128):
     """Host-side: block sparsity + element->slot mapping.
 
     Assumes locality-ordered nodes (RCB).  Returns
-    (brow (nnzb,), bcol (nnzb,), slot_map (9c,), diag_pos (n,), NB).
+    (brow (nnzb,), bcol (nnzb,), blk_map (9c,), off_map (9c,),
+    diag_blk (n,), diag_off (n,), NB) — all int32.
     """
-    from shakti_tpu import native  # reuse the pair machinery via numpy here
-
     NB = -(-n_nodes // B)
     c = cells.shape[0]
     rows = np.broadcast_to(cells[:, :, None], (c, 3, 3)).reshape(-1).astype(np.int64)
@@ -46,20 +47,23 @@ def build_bcsr(cells: np.ndarray, n_nodes: int, B: int = 128):
     brow = (uniq // NB).astype(np.int32)
     bcol = (uniq % NB).astype(np.int32)
 
-    pos = np.searchsorted(uniq, bkey)            # block index of each entry
-    slot_map = ((pos.astype(np.int64) * B + rows % B) * B + cols % B)
+    blk_map = np.searchsorted(uniq, bkey).astype(np.int32)
+    off_map = ((rows % B) * B + cols % B).astype(np.int32)
 
     r = np.arange(n_nodes, dtype=np.int64)
     dkey = (r // B) * NB + (r // B)
-    dpos = np.searchsorted(uniq, dkey)
-    dpos = np.clip(dpos, 0, uniq.size - 1)
-    diag_pos = (dpos * B + r % B) * B + r % B
-    return brow, bcol, slot_map, diag_pos, NB
+    diag_blk = np.clip(np.searchsorted(uniq, dkey), 0,
+                       uniq.size - 1).astype(np.int32)
+    diag_off = ((r % B) * B + r % B).astype(np.int32)
+    return brow, bcol, blk_map, off_map, diag_blk, diag_off, NB
 
 
-def bcsr_from_elements(J_c, slot_map, nnzb: int, B: int):
+def bcsr_from_elements(J_c, blk_map, off_map, nnzb: int, B: int):
+    """Fold element blocks (c, 3, 3) into (nnzb, B, B): one 2-D scatter-add
+    (int32-safe at any mesh size)."""
     flat = J_c.reshape(-1)
-    vals = jax.ops.segment_sum(flat, slot_map, num_segments=nnzb * B * B)
+    vals = jnp.zeros((nnzb, B * B), dtype=flat.dtype)
+    vals = vals.at[blk_map, off_map].add(flat)
     return vals.reshape(nnzb, B, B)
 
 
@@ -74,5 +78,6 @@ def bcsr_matvec(vals, brow, bcol, x, n_nodes: int, NB: int):
     return y.reshape(-1)[:n_nodes]
 
 
-def bcsr_diag(vals, diag_pos):
-    return vals.reshape(-1)[diag_pos]
+def bcsr_diag(vals, diag_blk, diag_off):
+    nnzb, B, _ = vals.shape
+    return vals.reshape(nnzb, B * B)[diag_blk, diag_off]

@@ -60,8 +60,10 @@ class Mesh:
     # (no block-row padding; ~40% less HBM traffic on jittered meshes).
     bcsr_brow: Any = None       # (nnzb,) int32 block-row ids (sorted)
     bcsr_bcol: Any = None       # (nnzb,) int32 block-col ids
-    bcsr_map: Any = None        # (9 * n_cells,) element->flat slot mapping
-    bcsr_diag_pos: Any = None   # (n_nodes,) flat diagonal positions
+    bcsr_blk: Any = None        # (9 * n_cells,) int32 element->block id
+    bcsr_off: Any = None        # (9 * n_cells,) int32 within-block offset
+    bcsr_diag_blk: Any = None   # (n_nodes,) int32 diagonal block ids
+    bcsr_diag_off: Any = None   # (n_nodes,) int32 diagonal offsets
     bcsr_B: int | None = dataclasses.field(default=None,
                                            metadata=dict(static=True))
     bcsr_NB: int | None = dataclasses.field(default=None,
@@ -146,15 +148,19 @@ def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
         ell_cols = jnp.asarray(cols_np)
         ell_map = jnp.asarray(map_np)
         ell_diag_slot = jnp.asarray(diag_np)
-    bcsr_brow = bcsr_bcol = bcsr_map = bcsr_diag_pos = None
+    bcsr_brow = bcsr_bcol = bcsr_blk = bcsr_off = None
+    bcsr_diag_blk = bcsr_diag_off = None
     bcsr_B = bcsr_NB = None
     if operator in ("bcsr",):
         from shakti_tpu.fem.bcsr import build_bcsr
-        br, bc, smap, dpos, NB = build_bcsr(cells, nodes.shape[0], bell_block)
+        br, bc, blk, off, dblk, doff, NB = build_bcsr(cells, nodes.shape[0],
+                                                      bell_block)
         bcsr_brow = jnp.asarray(br)
         bcsr_bcol = jnp.asarray(bc)
-        bcsr_map = jnp.asarray(smap)
-        bcsr_diag_pos = jnp.asarray(dpos)
+        bcsr_blk = jnp.asarray(blk)
+        bcsr_off = jnp.asarray(off)
+        bcsr_diag_blk = jnp.asarray(dblk)
+        bcsr_diag_off = jnp.asarray(doff)
         bcsr_B = bell_block
         bcsr_NB = int(NB)
     if operator in ("bell", "both"):
@@ -176,6 +182,7 @@ def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
         ell_cols=ell_cols, ell_map=ell_map, ell_diag_slot=ell_diag_slot,
         bell_nbr=bell_nbr, bell_map=bell_map, bell_diag_pos=bell_diag_pos,
         bell_B=bell_B,
-        bcsr_brow=bcsr_brow, bcsr_bcol=bcsr_bcol, bcsr_map=bcsr_map,
-        bcsr_diag_pos=bcsr_diag_pos, bcsr_B=bcsr_B, bcsr_NB=bcsr_NB,
+        bcsr_brow=bcsr_brow, bcsr_bcol=bcsr_bcol, bcsr_blk=bcsr_blk,
+        bcsr_off=bcsr_off, bcsr_diag_blk=bcsr_diag_blk,
+        bcsr_diag_off=bcsr_diag_off, bcsr_B=bcsr_B, bcsr_NB=bcsr_NB,
     )

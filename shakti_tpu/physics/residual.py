@@ -225,8 +225,9 @@ def make_operator(J_c, mesh, dirichlet):
     if mesh.bcsr_brow is not None:
         from shakti_tpu.fem import bcsr as bcsrm
         nnzb = mesh.bcsr_brow.shape[0]
-        vals = -bcsrm.bcsr_from_elements(J_c, mesh.bcsr_map, nnzb, mesh.bcsr_B)
-        a_diag = bcsrm.bcsr_diag(vals, mesh.bcsr_diag_pos)
+        vals = -bcsrm.bcsr_from_elements(J_c, mesh.bcsr_blk, mesh.bcsr_off,
+                                         nnzb, mesh.bcsr_B)
+        a_diag = bcsrm.bcsr_diag(vals, mesh.bcsr_diag_blk, mesh.bcsr_diag_off)
         n = mesh.n_nodes
 
         def matvec(x):

@@ -64,7 +64,7 @@ def test_bcsr_matvec_matches_ell():
     B = 16
     mesh = build_mesh(nodes, cells, dtype=jnp.float64, operator="both",
                       bell_block=B)
-    brow, bcol, smap, dpos, NB = bcsrm.build_bcsr(
+    brow, bcol, blk, off, dblk, doff, NB = bcsrm.build_bcsr(
         np.asarray(mesh.cells), n, B)
     rng = np.random.default_rng(5)
     J_c = jnp.asarray(rng.normal(size=(mesh.n_cells, 3, 3)))
@@ -74,14 +74,15 @@ def test_bcsr_matvec_matches_ell():
     y_ell = ellm.ell_matvec(ellm.ell_from_elements(J_c, mesh.ell_map, n, K),
                             mesh.ell_cols, x)
 
-    vals = bcsrm.bcsr_from_elements(J_c, jnp.asarray(smap), brow.shape[0], B)
+    vals = bcsrm.bcsr_from_elements(J_c, jnp.asarray(blk), jnp.asarray(off),
+                                    brow.shape[0], B)
     y = bcsrm.bcsr_matvec(vals, jnp.asarray(brow), jnp.asarray(bcol), x, n, NB)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ell),
                                rtol=1e-11, atol=1e-13)
 
     d_ell = ellm.ell_diag(ellm.ell_from_elements(J_c, mesh.ell_map, n, K),
                           mesh.ell_diag_slot)
-    d = bcsrm.bcsr_diag(vals, jnp.asarray(dpos))
+    d = bcsrm.bcsr_diag(vals, jnp.asarray(dblk), jnp.asarray(doff))
     np.testing.assert_allclose(np.asarray(d), np.asarray(d_ell), rtol=1e-12)
 
 
