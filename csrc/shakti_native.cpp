@@ -301,4 +301,50 @@ void shakti_bilinear(const double* gx, int64_t nx, const double* gy,
   }
 }
 
+
+// ----------------------------------------------------- block-CSR sparsity
+// Matches fem/bcsr.py:build_bcsr.  Returns nnzb (>0) or -nnzb_needed when
+// max_nnzb is too small.  brow/bcol must hold max_nnzb int32; blk_map and
+// off_map 9*c int32; diag_blk/diag_off n int32.
+int64_t shakti_bcsr_build(const int32_t* cells, int64_t c, int64_t n,
+                          int64_t B, int64_t max_nnzb, int32_t* brow,
+                          int32_t* bcol, int32_t* blk_map, int32_t* off_map,
+                          int32_t* diag_blk, int32_t* diag_off) {
+  const int64_t NB = (n + B - 1) / B;
+  std::vector<uint64_t> bkeys(9 * c);
+  int64_t idx = 0;
+  for (int64_t t = 0; t < c; ++t)
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j) {
+        const int64_t br = cells[3 * t + i] / B, bc = cells[3 * t + j] / B;
+        bkeys[idx++] = (uint64_t)br * (uint64_t)NB + (uint64_t)bc;
+      }
+  std::vector<uint64_t> uniq(bkeys);
+  std::sort(uniq.begin(), uniq.end());
+  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+  const int64_t nnzb = (int64_t)uniq.size();
+  if (nnzb > max_nnzb) return -nnzb;
+
+  for (int64_t k = 0; k < nnzb; ++k) {
+    brow[k] = (int32_t)(uniq[k] / NB);
+    bcol[k] = (int32_t)(uniq[k] % NB);
+  }
+  for (int64_t e = 0; e < 9 * c; ++e) {
+    const size_t u = std::lower_bound(uniq.begin(), uniq.end(), bkeys[e]) -
+                     uniq.begin();
+    blk_map[e] = (int32_t)u;
+    const int64_t t = e / 9, rem = e % 9, i = rem / 3, j = rem % 3;
+    const int64_t row = cells[3 * t + i], col = cells[3 * t + j];
+    off_map[e] = (int32_t)((row % B) * B + col % B);
+  }
+  for (int64_t r = 0; r < n; ++r) {
+    const uint64_t key = (uint64_t)(r / B) * (uint64_t)NB + (uint64_t)(r / B);
+    auto it = std::lower_bound(uniq.begin(), uniq.end(), key);
+    diag_blk[r] = (int32_t)((it != uniq.end() && *it == key)
+                                ? (it - uniq.begin()) : 0);
+    diag_off[r] = (int32_t)((r % B) * B + r % B);
+  }
+  return nnzb;
+}
+
 }  // extern "C"

@@ -37,6 +37,12 @@ def build_bcsr(cells: np.ndarray, n_nodes: int, B: int = 128):
     diag_blk (n,), diag_off (n,), NB) — all int32.
     """
     NB = -(-n_nodes // B)
+    from shakti_tpu import native
+    if native.available():
+        nat = native.bcsr_build(np.asarray(cells, np.int32), n_nodes, B)
+        if nat is not None:
+            brow, bcol, blk, off, dblk, doff = nat
+            return brow, bcol, blk, off, dblk, doff, NB
     c = cells.shape[0]
     rows = np.broadcast_to(cells[:, :, None], (c, 3, 3)).reshape(-1).astype(np.int64)
     cols = np.broadcast_to(cells[:, None, :], (c, 3, 3)).reshape(-1).astype(np.int64)

@@ -63,6 +63,9 @@ def lib():
     L.shakti_ell_build.restype = i64
     L.shakti_bell_build.argtypes = [P(i32), i64, i64, i64, i64, P(i32), P(i64), P(i64)]
     L.shakti_bell_build.restype = i64
+    L.shakti_bcsr_build.argtypes = [P(i32), i64, i64, i64, i64, P(i32), P(i32),
+                                    P(i32), P(i32), P(i32), P(i32)]
+    L.shakti_bcsr_build.restype = i64
     L.shakti_bilinear.argtypes = [P(f64), i64, P(f64), i64, P(f64), P(f64),
                                   P(f64), i64, P(f64)]
     _LIB = L
@@ -183,3 +186,30 @@ def bilinear(gx, gy, f, px, py):
                       _ptr(py, ctypes.c_double), px.shape[0],
                       _ptr(out, ctypes.c_double))
     return out
+
+
+def bcsr_build(cells: np.ndarray, n_nodes: int, B: int):
+    L = lib()
+    if L is None:
+        return None
+    cl = np.ascontiguousarray(cells, dtype=np.int32)
+    c = cl.shape[0]
+    max_nnzb = max(9 * max(c // 4, 1), 64)
+    while True:
+        brow = np.empty(max_nnzb, dtype=np.int32)
+        bcol = np.empty(max_nnzb, dtype=np.int32)
+        blk = np.empty(9 * c, dtype=np.int32)
+        off = np.empty(9 * c, dtype=np.int32)
+        dblk = np.empty(n_nodes, dtype=np.int32)
+        doff = np.empty(n_nodes, dtype=np.int32)
+        nnzb = L.shakti_bcsr_build(_ptr(cl, ctypes.c_int32), c, n_nodes, B,
+                                   max_nnzb, _ptr(brow, ctypes.c_int32),
+                                   _ptr(bcol, ctypes.c_int32),
+                                   _ptr(blk, ctypes.c_int32),
+                                   _ptr(off, ctypes.c_int32),
+                                   _ptr(dblk, ctypes.c_int32),
+                                   _ptr(doff, ctypes.c_int32))
+        if nnzb > 0:
+            return (brow[:nnzb].copy(), bcol[:nnzb].copy(), blk, off,
+                    dblk, doff)
+        max_nnzb = -int(nnzb)

@@ -109,3 +109,14 @@ def test_bilinear_identical():
     with _numpy_mode():
         b = itp(px, py)
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-15)
+
+
+def test_bcsr_build_identical(mesh_data):
+    nodes, cells = mesh_data
+    from shakti_tpu.fem.bcsr import build_bcsr
+    a = build_bcsr(cells, nodes.shape[0], 16)
+    with _numpy_mode():
+        b = build_bcsr(cells, nodes.shape[0], 16)
+    assert a[-1] == b[-1]
+    for x, y in zip(a[:-1], b[:-1]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
