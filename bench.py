@@ -109,7 +109,8 @@ def main():
     print(f"# device={dev.platform}:{dev.device_kind} dtype={np.dtype(md.dtype).name} "
           f"nodes={mesh.n_nodes} cells={mesh.n_cells} steps_timed={steps_timed} "
           f"converged={conv} newton_mean={float(np.asarray(diag['newton_iters']).mean()):.2f} "
-          f"cg_mean={float(np.asarray(diag['cg_iters']).mean()):.1f}",
+          f"cg_mean={float(np.asarray(diag['cg_iters']).mean()):.1f} "
+          f"dof_steps_per_s={mesh.n_nodes / ms_per_step * 1e3:.3g}",
           file=sys.stderr)
     return 0
 

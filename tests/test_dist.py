@@ -158,3 +158,24 @@ def test_distributed_resume(tmp_path):
 
     np.testing.assert_allclose(np.asarray(out_full["state"].N),
                                np.asarray(out_b["state"].N), rtol=1e-8)
+
+
+def test_distributed_with_seasonal_forcing(tmp_path):
+    """Forcing dicts (dt + inputs_scale) must flow through the shard_map
+    runner identically to the single-device path."""
+    import dataclasses
+    import setups.setup_lake as sl
+    from shakti_tpu.api.run import solve
+
+    def build(name, dist):
+        md = sl.initialize(nx=12, ny=12, days=10.0, nt_per_day=2,
+                           results_name=str(tmp_path / name))
+        md.solver = dataclasses.replace(md.solver, precond="jacobi")
+        md.seasonal_inputs = (1.0, 3.154e7, 0.0)
+        md.distributed = dist
+        return md
+
+    out1 = solve(build("single", False), progress=False)
+    out2 = solve(build("dist", True), progress=False)
+    np.testing.assert_allclose(out1["history"]["N"], out2["history"]["N"],
+                               rtol=1e-8)
