@@ -114,3 +114,37 @@ def test_setup_lake_runs_and_fills():
     out = solve(md, progress=False)
     lvl = post.lake_level(out["history"]["N"], md.lake_bdry > 0.5)
     assert np.isfinite(lvl).all()
+
+
+def test_setup_cooke2_with_msh_mesh_dir(tmp_path, monkeypatch):
+    """SHAKTI_MESH_DIR + a gmsh file routes through the .msh reader."""
+    from shakti_tpu.mesh.generate import polygon_mesh
+    from shakti_tpu.mesh.msh_io import write_msh
+
+    th = np.linspace(0, 2 * np.pi, 50, endpoint=False)
+    outline = np.column_stack([50e3 + 30e3 * np.cos(th),
+                               50e3 + 25e3 * np.sin(th)])
+    nodes, cells = polygon_mesh(outline, resolution=5e3)
+    write_msh(str(tmp_path / "Cook_E2_mesh.msh"), nodes, cells)
+    monkeypatch.setenv("SHAKTI_MESH_DIR", str(tmp_path))
+
+    import setups.setup_cooke2 as sc
+    md = sc.initialize(days=0.5, nt_per_day=4, results_name=None)
+    assert md.x.size == nodes.shape[0]
+    from shakti_tpu.api.run import solve
+    out = solve(md, progress=False)
+    assert np.isfinite(out["history"]["N"]).all()
+
+
+def test_operator_cells_path_matches_ell():
+    import setups.setup_slab as sl
+    from shakti_tpu.api.run import solve
+
+    md1 = sl.initialize(nx=8, ny=8, days=1.0, nt_per_day=4)
+    md1.operator = "ell"
+    out1 = solve(md1, progress=False)
+    md2 = sl.initialize(nx=8, ny=8, days=1.0, nt_per_day=4)
+    md2.operator = "none"     # bare cell-based operator
+    out2 = solve(md2, progress=False)
+    np.testing.assert_allclose(out1["history"]["N"], out2["history"]["N"],
+                               rtol=1e-10)
