@@ -208,12 +208,14 @@ class ModelSetup:
             self.node_iperm = None
         p = (lambda a: np.asarray(a)[perm]) if perm is not None else np.asarray
 
-        # block size for the blocked operators: full MXU tiles through the
-        # mid range; smaller blocks at very large n so vals fits HBM
-        # (fem/bcsr.py memory notes); override via md.operator_block
+        # block size for the blocked operators: full MXU tiles for block-ELL
+        # (mid-size meshes); small blocks for block-CSR — at B=128 the dense
+        # blocks hold ~7 real nonzeros per row, and XLA keeps 2-3 live
+        # copies of the fold inside the Newton loop (observed OOM at 1M dof
+        # with B=128 BCSR).  Override via md.operator_block.
         blk = getattr(self, "operator_block", None)
         if blk is None:
-            blk = 128 if n <= 2_500_000 else (32 if n <= 6_000_000 else 16)
+            blk = (32 if n <= 6_000_000 else 16) if op == "bcsr" else 128
         mesh = build_mesh(nodes, cells, dtype=self.dtype, operator=op,
                           bell_block=blk)
         dnodes = geo.locate_boundary_nodes(nodes, cells, self.OutflowBoundary) \
