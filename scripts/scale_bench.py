@@ -26,8 +26,7 @@ def main(nx: int = 1000, steps: int = 12):
 
     from shakti_tpu.api.model import ModelSetup
     from shakti_tpu.mesh.generate import rectangle_mesh
-    from shakti_tpu.solve.timestep import (make_step_fn, run_window,
-                                           timestep_sizes)
+    from shakti_tpu.solve.timestep import make_runner, timestep_sizes
 
     dev = jax.devices()[0]
     if dev.platform != "tpu":
@@ -54,8 +53,8 @@ def main(nx: int = 1000, steps: int = 12):
           f"op={'bcsr' if mesh.bcsr_brow is not None else 'bell'}",
           file=sys.stderr, flush=True)
 
-    step = make_step_fn(mesh, static, md.params, cfg)
-    runner = jax.jit(lambda s, d: run_window(step, s, d))
+    _runner = make_runner(md.params, cfg)
+    runner = lambda s, d: _runner(mesh, static, s, d)
     dts = timestep_sizes(md.timesteps, dtype=md.dtype)
     t0 = time.time()
     state, diag = runner(state, dts[:steps])

@@ -218,6 +218,24 @@ def with_dt_halving(base, level: int = 0):
     return stepped
 
 
+def make_runner(params: PhysicalParams, cfg: NewtonConfig):
+    """jit-compiled (mesh, static, state, forcing) -> (state, diags).
+
+    Mesh/static travel as jit ARGUMENTS, not closures: closed-over arrays
+    embed as jaxpr constants, which (a) grows compile time/memory with mesh
+    size and (b) ships the whole mesh through the remote-compile channel on
+    tunneled TPU backends (observed: 650 s compile at 1M dof, broken-pipe
+    compile failure at 10M).  As arguments they are runtime inputs only.
+    """
+
+    @jax.jit
+    def runner(mesh, static, state, forcing):
+        step = make_step_fn(mesh, static, params, cfg)
+        return run_window(step, state, forcing)
+
+    return runner
+
+
 def run_window(step_fn, state: State, dts):
     """Scan `len(dts)` steps; returns (state, stacked diagnostics)."""
     def body(s, dt):
