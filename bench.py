@@ -63,12 +63,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from shakti_tpu.solve.timestep import make_runner, timestep_sizes
+    from shakti_tpu.solve.timestep import make_step_fn, run_window, timestep_sizes
 
     md = build_bench_model()
     mesh, static, state, cfg = md.freeze()
-    _runner = make_runner(md.params, cfg)
-    runner = lambda s, d: _runner(mesh, static, s, d)
+    step = make_step_fn(mesh, static, md.params, cfg)
+    runner = jax.jit(lambda s, d: run_window(step, s, d))
     dts = timestep_sizes(md.timesteps, dtype=md.dtype)
 
     win = int(md.nt_save)

@@ -20,13 +20,14 @@ ensure_backend()
 import numpy as np  # noqa: E402
 
 
-def main(nx: int = 1000, steps: int = 12):
+def main(nx: int = 1000, steps: int = 12, op: str = "auto"):
     import jax
     import jax.numpy as jnp
 
     from shakti_tpu.api.model import ModelSetup
     from shakti_tpu.mesh.generate import rectangle_mesh
-    from shakti_tpu.solve.timestep import make_runner, timestep_sizes
+    from shakti_tpu.solve.timestep import (make_step_fn, run_window,
+                                           timestep_sizes)
 
     dev = jax.devices()[0]
     if dev.platform != "tpu":
@@ -46,15 +47,16 @@ def main(nx: int = 1000, steps: int = 12):
     md.b_init = np.maximum(0.001 + rng.normal(scale=5e-4, size=md.x.size), 1e-5)
     md.N_init = np.full(md.x.size, md.N_bdry)
     md.storage_on = False
+    md.operator = op
     md.timesteps = np.linspace(0, 4 * steps * 3600.0, 4 * steps)
     md.nt_save = 2 * steps
     mesh, static, state, cfg = md.freeze()
     print(f"# freeze {time.time() - t0:.0f}s n={mesh.n_nodes} "
-          f"op={'bcsr' if mesh.bcsr_brow is not None else 'bell'}",
+          f"op={md.operator}",
           file=sys.stderr, flush=True)
 
-    _runner = make_runner(md.params, cfg)
-    runner = lambda s, d: _runner(mesh, static, s, d)
+    step = make_step_fn(mesh, static, md.params, cfg)
+    runner = jax.jit(lambda s, d: run_window(step, s, d))
     dts = timestep_sizes(md.timesteps, dtype=md.dtype)
     t0 = time.time()
     state, diag = runner(state, dts[:steps])
@@ -80,4 +82,5 @@ def main(nx: int = 1000, steps: int = 12):
 
 
 if __name__ == "__main__":
-    sys.exit(main(*(int(a) for a in sys.argv[1:])))
+    args = [int(a) if a.isdigit() else a for a in sys.argv[1:]]
+    sys.exit(main(*args))

@@ -29,7 +29,8 @@ import jax
 import numpy as np
 
 from shakti_tpu.io import checkpoint as ckpt
-from shakti_tpu.solve.timestep import make_forcing, make_runner
+from shakti_tpu.solve.timestep import (make_forcing, make_step_fn,
+                                       run_window)
 
 
 class ConvergenceError(RuntimeError):
@@ -140,8 +141,8 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         mesh, static, state0, cfg = md.freeze()
         if state is None:
             state = state0
-        _runner = make_runner(md.params, cfg)
-        runner = lambda s, f: _runner(mesh, static, s, f)
+        step_fn = make_step_fn(mesh, static, md.params, cfg)
+        runner = jax.jit(lambda s, d: run_window(step_fn, s, d))
         extract = lambda st: st
 
     newton_total = cg_total = 0
