@@ -148,3 +148,15 @@ def test_operator_cells_path_matches_ell():
     out2 = solve(md2, progress=False)
     np.testing.assert_allclose(out1["history"]["N"], out2["history"]["N"],
                                rtol=1e-10)
+
+
+def test_render_frames_smoke(tmp_path):
+    import os
+    t = np.linspace(0, 86400.0, 2)
+    n = 25
+    x, y = np.meshgrid(np.linspace(0, 4e3, 5), np.linspace(0, 4e3, 5))
+    res = {"t": t, "nodes_x": x.ravel(), "nodes_y": y.ravel(),
+           "N": np.full((2, n), 1e5), "b": np.full((2, n), 1e-3),
+           "qx": np.zeros((2, n)), "qy": np.zeros((2, n))}
+    post.render_frames(res, str(tmp_path / "frames"))
+    assert len(os.listdir(tmp_path / "frames")) == 2
