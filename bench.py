@@ -104,7 +104,14 @@ def main():
         "value": round(ms_per_step, 4),
         "unit": "ms/step",
         "vs_baseline": round(BASELINE_MS_PER_STEP / ms_per_step, 3),
+        "platform": dev.platform,
     }
+    if dev.platform != "tpu":
+        # the axon tunnel can silently fall back to CPU after the
+        # ensure_backend re-exec — never let that pass as a TPU number
+        result["warning"] = "NOT a TPU measurement"
+        print(f"# WARNING: benchmark ran on '{dev.platform}', not TPU",
+              file=sys.stderr)
     print(json.dumps(result))
     print(f"# device={dev.platform}:{dev.device_kind} dtype={np.dtype(md.dtype).name} "
           f"nodes={mesh.n_nodes} cells={mesh.n_cells} steps_timed={steps_timed} "

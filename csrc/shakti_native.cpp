@@ -347,4 +347,16 @@ int64_t shakti_bcsr_build(const int32_t* cells, int64_t c, int64_t n,
   return nnzb;
 }
 
+// ------------------------------------------------------------ source hash
+// Stamped by the Makefile from sha256(shakti_native.cpp); the Python loader
+// compares it against the on-disk source and falls back to numpy when a
+// stale binary is detected.
+const char* shakti_src_hash() {
+#ifdef SHAKTI_SRC_HASH
+  return SHAKTI_SRC_HASH;
+#else
+  return "";
+#endif
+}
+
 }  // extern "C"

@@ -75,7 +75,9 @@ def solve(md, *, resume: bool = False, progress: bool = True):
 
     if io_on:
         rdir = str(md.results_name)
-        loaded = ckpt.load_state(rdir, dtype=md.dtype) if resume else None
+        mesh_fp = ckpt.mesh_fingerprint(md.nodes)
+        loaded = (ckpt.load_state(rdir, dtype=md.dtype, fingerprint=mesh_fp)
+                  if resume else None)
         if loaded is not None:
             state, start_step, row = loaded
         else:
@@ -180,7 +182,7 @@ def solve(md, *, resume: bool = False, progress: bool = True):
             if io_on and last % nt_check == 0:
                 write_histories()
                 write_log()
-                ckpt.save_state(rdir, gs, last + 1, row)
+                ckpt.save_state(rdir, gs, last + 1, row, fingerprint=mesh_fp)
         if progress and (w_idx + 1) % 10 == 0:
             done = last + 1
             print(f"Time step {done} of {nt} completed ({done / nt * 100:.1f}%)",
@@ -191,7 +193,7 @@ def solve(md, *, resume: bool = False, progress: bool = True):
     if io_on:
         write_histories()
         write_log()
-        ckpt.save_state(rdir, state, nt, row)
+        ckpt.save_state(rdir, state, nt, row, fingerprint=mesh_fp)
 
     return {
         "state": state,

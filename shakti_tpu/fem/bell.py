@@ -70,8 +70,9 @@ def build_block_ell(cells: np.ndarray, n_nodes: int, B: int = BLOCK):
     r = np.arange(n_nodes, dtype=np.int64)
     br = r // B
     dkey = br * NB + br
-    dpos = np.searchsorted(uniq, dkey)
-    dkb = kb_of_pair[np.clip(dpos, 0, uniq.size - 1)]
+    dpos = np.clip(np.searchsorted(uniq, dkey), 0, uniq.size - 1)
+    # rows whose diagonal block is absent (isolated nodes) pin to kb 0
+    dkb = np.where(uniq[dpos] == dkey, kb_of_pair[dpos], 0)
     diag_pos = (((br * KB + dkb) * B + r % B) * B + r % B).astype(np.int64)
     return nbr, slot_map, diag_pos, KB
 

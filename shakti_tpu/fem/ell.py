@@ -66,9 +66,12 @@ def build_ell_map(cells: np.ndarray, n_nodes: int):
     pos = np.searchsorted(uniq_key, key)
     slot_map = (flat_rows * K + slot_k[pos]).astype(np.int32)
 
-    diag_pos = np.searchsorted(uniq_key,
-                               np.arange(n_nodes, dtype=np.int64) * (n_nodes + 1))
-    diag_slot = slot_k[np.clip(diag_pos, 0, uniq_key.size - 1)].astype(np.int32)
+    diag_key = np.arange(n_nodes, dtype=np.int64) * (n_nodes + 1)
+    diag_pos = np.clip(np.searchsorted(uniq_key, diag_key), 0, uniq_key.size - 1)
+    # isolated/padded nodes have no (r, r) entry: pin them to slot 0 (value 0),
+    # matching the native builder's *it==key check
+    diag_slot = np.where(uniq_key[diag_pos] == diag_key,
+                         slot_k[diag_pos], 0).astype(np.int32)
     return cols, slot_map, diag_slot
 
 

@@ -9,6 +9,7 @@ counters, so a preempted run continues bit-exactly where it stopped.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -17,27 +18,53 @@ from shakti_tpu.solve.timestep import State
 CHECKPOINT_FILE = "checkpoint.npz"
 
 
-def save_state(results_dir: str, state: State, next_step: int, next_row: int):
+def mesh_fingerprint(nodes) -> int:
+    """Cheap mesh identity: crc32 of the node coordinates.  Two meshes with
+    the same node count but different geometry/ordering get different
+    fingerprints, so a resume into the wrong results dir fails loudly
+    instead of silently misassigning nodal state."""
+    a = np.ascontiguousarray(np.asarray(nodes, dtype=np.float64))
+    return zlib.crc32(a.tobytes()) & 0xFFFFFFFF
+
+
+def save_state(results_dir: str, state: State, next_step: int, next_row: int,
+               fingerprint: int | None = None):
     path = os.path.join(results_dir, CHECKPOINT_FILE)
     tmp = path + ".tmp.npz"
+    extra = {}
+    if fingerprint is not None:
+        extra["mesh_crc"] = np.uint32(fingerprint)
     np.savez(tmp,
              N=np.asarray(state.N), b=np.asarray(state.b),
              q=np.asarray(state.q), melt=np.asarray(state.melt),
              N_prev=np.asarray(state.N_prev if state.N_prev is not None
                                else state.N),
-             next_step=np.int64(next_step), next_row=np.int64(next_row))
+             n_nodes=np.int64(np.asarray(state.N).shape[-1]),
+             next_step=np.int64(next_step), next_row=np.int64(next_row),
+             **extra)
     os.replace(tmp, path)
 
 
-def load_state(results_dir: str, dtype=None):
-    """Returns (state, next_step, next_row) or None if no checkpoint."""
+def load_state(results_dir: str, dtype=None, fingerprint: int | None = None):
+    """Returns (state, next_step, next_row) or None if no checkpoint.
+
+    When ``fingerprint`` is given (from :func:`mesh_fingerprint` of the
+    current mesh) and the checkpoint recorded one, a mismatch raises — shape
+    agreement alone is not enough to prove the state belongs to this mesh.
+    """
     import jax.numpy as jnp
     path = os.path.join(results_dir, CHECKPOINT_FILE)
     if not os.path.exists(path):
         return None
-    z = np.load(path)
-    f = (lambda a: jnp.asarray(a, dtype=dtype)) if dtype else jnp.asarray
-    np_prev = z["N_prev"] if "N_prev" in z.files else z["N"]
-    state = State(N=f(z["N"]), b=f(z["b"]), q=f(z["q"]), melt=f(z["melt"]),
-                  N_prev=f(np_prev))
-    return state, int(z["next_step"]), int(z["next_row"])
+    with np.load(path) as z:
+        if (fingerprint is not None and "mesh_crc" in z.files
+                and int(z["mesh_crc"]) != int(fingerprint)):
+            raise ValueError(
+                f"checkpoint in '{results_dir}' was written for a different "
+                f"mesh (fingerprint {int(z['mesh_crc']):#010x} != current "
+                f"{int(fingerprint):#010x}); refusing to resume")
+        f = (lambda a: jnp.asarray(a, dtype=dtype)) if dtype else jnp.asarray
+        np_prev = z["N_prev"] if "N_prev" in z.files else z["N"]
+        state = State(N=f(z["N"]), b=f(z["b"]), q=f(z["q"]), melt=f(z["melt"]),
+                      N_prev=f(np_prev))
+        return state, int(z["next_step"]), int(z["next_row"])

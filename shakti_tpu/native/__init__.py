@@ -36,6 +36,26 @@ def _find_lib():
     return None
 
 
+def _hash_ok(L, lib_path: str) -> bool:
+    """The binary embeds sha256(shakti_native.cpp)[:16] at build time; when
+    the source file sits next to the .so, a mismatch means the binary is
+    stale and must not be trusted over the numpy fallbacks."""
+    src = os.path.join(os.path.dirname(lib_path), "shakti_native.cpp")
+    if not os.path.exists(src):
+        return True  # installed without source: nothing to compare against
+    try:
+        fn = L.shakti_src_hash
+    except AttributeError:
+        return False  # pre-hash binary next to source: treat as stale
+    fn.restype = ctypes.c_char_p
+    embedded = fn().decode()
+    if not embedded:
+        return True  # built without the stamp (custom flags): accept
+    import hashlib
+    with open(src, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16] == embedded
+
+
 def lib():
     """The loaded library handle, or None (fallback mode)."""
     global _LIB, _TRIED
@@ -51,6 +71,8 @@ def lib():
         L = ctypes.CDLL(path)
     except OSError:
         return None
+    if not _hash_ok(L, path):
+        return None  # stale binary vs edited source: use numpy fallbacks
     i64, i32, u8, f64 = (ctypes.c_int64, ctypes.c_int32, ctypes.c_uint8,
                          ctypes.c_double)
     P = ctypes.POINTER

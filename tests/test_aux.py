@@ -149,3 +149,26 @@ def test_seasonal_forcing():
     assert dN.max() > 1.0        # the forcing visibly changes the solution
     # and the difference oscillates over the year (not monotone drift)
     assert dN[len(dN) // 2] > dN[-1] * 0.1
+
+
+def test_checkpoint_mesh_fingerprint(tmp_path):
+    """Resuming into a results dir written for a different mesh must fail
+    loudly, not silently misassign nodal state (shape match is not enough)."""
+    import pytest
+    from shakti_tpu.io import checkpoint as ckpt
+    from shakti_tpu.solve.timestep import State
+
+    n = 16
+    st = State(N=jnp.ones(n), b=jnp.full(n, 1e-3), q=jnp.zeros((n, 2)),
+               melt=jnp.zeros(n), N_prev=jnp.ones(n))
+    nodes_a = np.random.default_rng(0).random((n, 2))
+    nodes_b = nodes_a + 1.0          # same shape, different mesh
+    fp_a = ckpt.mesh_fingerprint(nodes_a)
+    fp_b = ckpt.mesh_fingerprint(nodes_b)
+    assert fp_a != fp_b
+
+    ckpt.save_state(str(tmp_path), st, 5, 1, fingerprint=fp_a)
+    out = ckpt.load_state(str(tmp_path), fingerprint=fp_a)
+    assert out is not None and out[1] == 5 and out[2] == 1
+    with pytest.raises(ValueError, match="different mesh"):
+        ckpt.load_state(str(tmp_path), fingerprint=fp_b)
