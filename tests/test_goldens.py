@@ -1,24 +1,22 @@
 """Golden-run regression tests (SURVEY §4 consequence item 3).
 
-The stored goldens were produced by this framework's f64 CPU solver at a
-state validated by the MMS convergence study, the physical-structure tests,
-and the f32/f64 agreement study.  Any solver/assembly change that shifts
-nodal fields beyond tight tolerance must be deliberate (regenerate with
-tests/goldens/README instructions in this file's header docstring):
+The stored goldens are produced by the INDEPENDENT oracle
+(oracle/reference_oracle.py: standalone numpy/scipy assembly of the
+reference weak form, analytic Jacobians, exact sparse-LU Newton, f64) — not
+by this framework — so they validate the discretization against an
+implementation that shares no code with physics/residual.py (VERDICT
+round-1 item 2).  Regenerate deliberately after an intentional
+solver-behavior change:
 
-    python -c "import tests.regen_goldens"   # (see generation snippet in
-                                             # the git history of goldens/)
+    python -m tests.regen_goldens
 """
 
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-import pytest
 
-import setups.setup_lake as lake
-import setups.setup_slab as slab
+from tests.golden_cases import lake_case, slab_case
 from shakti_tpu.solve.timestep import make_step_fn, run_window, timestep_sizes
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
@@ -44,12 +42,10 @@ def compare(state, path):
 
 
 def test_slab_golden():
-    md = slab.initialize(nx=12, ny=12, days=5.0, nt_per_day=4, seed=0)
-    compare(run_case(md, 20),
-            os.path.join(GOLDEN_DIR, "slab_12x12_20steps.npz"))
+    md, n, fname = slab_case()
+    compare(run_case(md, n), os.path.join(GOLDEN_DIR, fname))
 
 
 def test_lake_golden():
-    md = lake.initialize(nx=16, ny=16, days=3.0, nt_per_day=4, seed=0)
-    compare(run_case(md, 12),
-            os.path.join(GOLDEN_DIR, "lake_16x16_12steps.npz"))
+    md, n, fname = lake_case()
+    compare(run_case(md, n), os.path.join(GOLDEN_DIR, fname))

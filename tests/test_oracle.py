@@ -1,0 +1,115 @@
+"""Independent cross-validation against oracle/reference_oracle.py.
+
+VERDICT round-1 item 2: the goldens used to be self-generated; these tests
+validate the framework against a standalone numpy/scipy implementation of the
+reference weak form (reference solvers.py:45) — hand-derived analytic
+Jacobians + exact sparse-LU Newton in f64, sharing no code with
+shakti_tpu.physics/solve.
+
+Measured agreement (slab 12x12, 20 steps, f64): rel L2 ~6e-10 on N
+(north-star target from BASELINE.json: <= 1e-6).
+
+The one deliberate discretization divergence — the cell->node rule for
+cell-discontinuous quantities (area-weighted average here vs DOLFINx's
+cell-visit-order interpolation, SURVEY §7 hard part 2) — is quantified by
+running the oracle under both rules: O(h) on smooth problems (see
+test_interp_rule_divergence_vanishes_with_h and VALIDATION.md).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+import setups.setup_lake as lake
+import setups.setup_slab as slab
+from oracle.reference_oracle import OracleModel, run_transient
+from shakti_tpu.solve.timestep import make_step_fn, run_window, timestep_sizes
+
+
+def rel_l2(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-300)
+
+
+def run_framework(md, n):
+    mesh, static, state, cfg = md.freeze()
+    step = make_step_fn(mesh, static, md.params, cfg)
+    dts = timestep_sizes(md.timesteps, dtype=md.dtype)[:n]
+    s, d = jax.jit(lambda a, b: run_window(step, a, b))(state, dts)
+    assert bool(np.asarray(d["converged"]).all())
+    return s
+
+
+def run_oracle(md, n, rule="avg"):
+    zeros = np.zeros(md.x.size)
+    om = OracleModel(
+        md.nodes, md.cells, z_b=md.z_b, z_s=md.z_s, G=md.G, inputs=md.inputs,
+        storage=(md.lake_bdry if md.storage_on else zeros),
+        dirichlet_nodes=md.dirichlet_nodes(), N_bdry=md.N_bdry,
+        b_min=md.b_min, quad_degree=md.solver.quad_degree, interp_rule=rule)
+    out = run_transient(om, md.N_init, md.b_init, md.q_init, zeros,
+                        md.timesteps, n_steps=n)
+    assert all(out["converged"])
+    return out
+
+
+def assert_match(state, out, tol=1e-6):
+    assert rel_l2(state.N, out["N"][-1]) < tol
+    assert rel_l2(state.b, out["b"][-1]) < tol
+    assert rel_l2(state.q, out["q"][-1]) < tol
+    assert rel_l2(state.melt, out["melt"][-1]) < tol
+
+
+def test_framework_matches_oracle_slab():
+    """Slab case (moulin + outflow BC): framework == independent oracle to
+    well under the 1e-6 north star (measured ~6e-10)."""
+    md = slab.initialize(nx=12, ny=12, days=5.0, nt_per_day=4, seed=0)
+    assert_match(run_framework(md, 20), run_oracle(md, 20))
+
+
+def test_framework_matches_oracle_lake():
+    """Lake case: exercises the storage term storage*(N-N_n)/(rho_w g dt)
+    and point-in-polygon lake mask against the oracle.
+
+    Uses a smooth positive b_init: with the setup's unclamped gaussian
+    noise, nodes where b_init < 0 give |b|^3 ~ 1e-10 transmissivity — a
+    near-null Jacobian row along which N is ill-determined at the tiny
+    first dt (both solvers converge the residual to ~1e-11 while N differs
+    O(1e6) Pa along that direction; measured ||J dN||/||dN|| ~ 3e-9 vs
+    median row scale 3e-7).  That is a property of the PDE's degenerate
+    limit, not an implementation difference — see VALIDATION.md."""
+    md = lake.initialize(nx=16, ny=16, days=3.0, nt_per_day=4, seed=0)
+    md.b_init = 0.001 * (1.0 + 0.5 * np.sin(2 * np.pi * md.x / 40e3)
+                         * np.cos(2 * np.pi * md.y / 40e3))
+    assert_match(run_framework(md, 12), run_oracle(md, 12))
+
+
+def test_interp_rule_divergence_vanishes_with_h():
+    """The deliberate cell->node rule divergence (area-weighted avg vs
+    DOLFINx last-cell-wins) is O(h) on smooth problems: refining 4x must
+    shrink the N/melt divergence by >= ~2x and keep N under 1e-4."""
+    div = {}
+    for nx in (8, 32):
+        md = slab.initialize(nx=nx, ny=nx, days=5.0, nt_per_day=4, seed=0,
+                             moulin_Q=0.0)
+        # smooth deterministic IC so the problem is resolution-independent
+        md.b_init = 0.001 * (1.0 + 0.5 * np.sin(2 * np.pi * md.x / 10e3)
+                             * np.cos(2 * np.pi * md.y / 10e3))
+        ra = run_oracle(md, 12, rule="avg")
+        rl = run_oracle(md, 12, rule="lastcell")
+        div[nx] = {k: rel_l2(ra[k][-1], rl[k][-1]) for k in ("N", "b", "melt")}
+    assert div[32]["N"] < 1e-4
+    for k in ("N", "b", "melt"):
+        assert div[32][k] < 0.6 * div[8][k], (k, div)
+
+
+def test_framework_within_band_of_reference_semantics():
+    """Framework N/b vs the oracle running REFERENCE (lastcell) semantics:
+    the state variables agree to the documented O(h) band even on the
+    rough-IC slab (q/melt nodal fields are excluded — near point sources
+    they are O(1) cell-order-dependent in the reference itself)."""
+    md = slab.initialize(nx=16, ny=16, days=5.0, nt_per_day=4, seed=0)
+    s = run_framework(md, 12)
+    rl = run_oracle(md, 12, rule="lastcell")
+    assert rel_l2(s.N, rl["N"][-1]) < 0.05
+    assert rel_l2(s.b, rl["b"][-1]) < 0.05
