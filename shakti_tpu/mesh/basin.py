@@ -1,0 +1,365 @@
+"""Drainage-basin extraction from gridded hydraulic potential (host numpy).
+
+Automates reference notebooks/create_mesh.ipynb cells 7-17: the reference
+builds a background hydraulic-potential grid, quantizes it to a uint8
+GeoTIFF, runs topotoolbox (FlowObject -> drainagebasins), then HAND-TRACES
+the basin outline with ``plt.ginput`` (cell 16) before meshing with pygmsh.
+
+Here the whole chain is automated and dependency-free:
+
+  * :func:`background_potential`  — rho_i g z_s + (rho_w - rho_i) g z_b
+    (create_mesh.ipynb cell 7), computed in float64 — no uint8 quantization
+    (the reference's cell-8 normalization throws away all but 8 bits of
+    relief before routing flow; a ``quantize=255`` knob reproduces it for
+    comparison).
+  * :func:`fill_sinks`            — priority-flood depression filling
+    (Barnes et al. 2014) with strict-ascent epsilon so every cell has a
+    monotone descending path to the grid border.
+  * :func:`d8_flow`               — steepest-descent D8 flow directions.
+  * :func:`flow_accumulation`     — upslope cell counts (topological sweep);
+    the analogue of topotoolbox StreamObject's accumulation threshold
+    (cell 12).
+  * :func:`drainage_basins`       — label every cell by its terminal outlet
+    (pointer doubling), the analogue of ``fd.drainagebasins()`` (cell 13).
+  * :func:`basin_outline`         — boundary polygon of the basin(s)
+    intersecting the lake, traced along grid-cell edges and Douglas-Peucker
+    simplified: the automated replacement for the hand-traced cell 16.
+  * :func:`basin_mesh`            — end-to-end: potential grid + lake
+    outline -> triangulated basin mesh (mesh.generate.polygon_mesh plays
+    the role of the pygmsh cell 17).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+__all__ = [
+    "background_potential", "fill_sinks", "d8_flow", "flow_accumulation",
+    "drainage_basins", "basin_labels_for_mask", "basin_outline", "basin_mesh",
+    "simplify_polygon",
+]
+
+# 8-neighborhood offsets (di, dj)
+_D8 = np.array([(-1, -1), (-1, 0), (-1, 1),
+                (0, -1), (0, 1),
+                (1, -1), (1, 0), (1, 1)], dtype=np.int64)
+_D8_DIST = np.hypot(_D8[:, 0], _D8[:, 1])
+
+
+def background_potential(z_s, z_b, rho_i=917.0, rho_w=1000.0, g=9.81,
+                         quantize=None):
+    """Background hydraulic potential on a grid (create_mesh.ipynb cell 7).
+
+    ``quantize=255`` reproduces the reference's uint8 GeoTIFF round-trip
+    (cells 8-10) for comparison studies; default keeps full precision.
+    """
+    phi = rho_i * g * np.asarray(z_s, np.float64) \
+        + (rho_w - rho_i) * g * np.asarray(z_b, np.float64)
+    if quantize:
+        lo, hi = phi.min(), phi.max()
+        q = np.floor((phi - lo) / max(hi - lo, 1e-30) * quantize)
+        phi = np.minimum(q, quantize).astype(np.float64)
+    return phi
+
+
+def fill_sinks(z):
+    """Priority-flood depression filling with strict ascent.
+
+    Returns a float64 grid >= z in which every cell has a strictly
+    descending 8-connected path to the grid border (flats and closed
+    depressions are raised by the minimal nextafter increments).  This is
+    what makes D8 directions well-defined everywhere — the role
+    topotoolbox's internal sink filling plays for the reference.
+    """
+    z = np.asarray(z, np.float64)
+    ny, nx = z.shape
+    filled = z.copy()
+    closed = np.zeros(z.shape, dtype=bool)
+    heap = []
+    # seed the flood from all border cells
+    for j in range(nx):
+        for i in (0, ny - 1):
+            heapq.heappush(heap, (filled[i, j], i, j))
+            closed[i, j] = True
+    for i in range(1, ny - 1):
+        for j in (0, nx - 1):
+            heapq.heappush(heap, (filled[i, j], i, j))
+            closed[i, j] = True
+    while heap:
+        v, i, j = heapq.heappop(heap)
+        for di, dj in _D8:
+            ii, jj = i + di, j + dj
+            if 0 <= ii < ny and 0 <= jj < nx and not closed[ii, jj]:
+                closed[ii, jj] = True
+                if filled[ii, jj] <= v:
+                    filled[ii, jj] = np.nextafter(v, np.inf)
+                heapq.heappush(heap, (filled[ii, jj], ii, jj))
+    return filled
+
+
+def d8_flow(filled, dx=1.0, dy=1.0):
+    """Steepest-descent D8 receivers.
+
+    Returns ``nxt``: flat index of the receiving cell per cell; outlet cells
+    (no lower neighbor — after :func:`fill_sinks`, only on the border) point
+    to themselves.
+    """
+    z = np.asarray(filled, np.float64)
+    ny, nx = z.shape
+    best_slope = np.zeros(z.shape)          # most negative drop so far
+    flat = np.arange(z.size).reshape(z.shape)
+    nxt = flat.copy()
+    dist_xy = np.hypot(_D8[:, 0] * dy, _D8[:, 1] * dx)
+    for (di, dj), dist in zip(_D8, dist_xy):
+        zn = np.full_like(z, np.inf)
+        src = (slice(max(0, -di), ny - max(0, di)),
+               slice(max(0, -dj), nx - max(0, dj)))
+        dst = (slice(max(0, di), ny + min(0, di) or None),
+               slice(max(0, dj), nx + min(0, dj) or None))
+        # zn[i,j] = z[i+di, j+dj]
+        zn[src] = z[dst]
+        slope = (zn - z) / dist
+        take = slope < best_slope
+        best_slope = np.where(take, slope, best_slope)
+        nxt = np.where(take, np.clip(flat + di * nx + dj, 0, z.size - 1), nxt)
+    return nxt.reshape(-1)
+
+
+def flow_accumulation(nxt):
+    """Upslope area in cells (each cell counts itself), by a vectorized
+    topological (Kahn) sweep of the flow graph."""
+    nxt = np.asarray(nxt)
+    n = nxt.size
+    cells = np.arange(n)
+    real = nxt != cells                      # outlet self-loops excluded
+    indeg = np.bincount(nxt[real], minlength=n)
+    acc = np.ones(n, dtype=np.float64)
+    frontier = cells[indeg == 0]
+    while frontier.size:
+        t = nxt[frontier]
+        keep = t != frontier
+        t = t[keep]
+        np.add.at(acc, t, acc[frontier[keep]])
+        dec = np.bincount(t, minlength=n)
+        indeg -= dec
+        frontier = np.unique(t[indeg[t] == 0])
+    return acc
+
+
+def drainage_basins(nxt):
+    """Label every cell by its terminal outlet cell (pointer doubling).
+
+    Returns (labels, outlets): ``labels`` in [0, n_basins), ``outlets`` the
+    flat grid index of each basin's outlet.  Equivalent to topotoolbox
+    ``FlowObject.drainagebasins()`` (create_mesh.ipynb cell 13).
+    """
+    term = np.asarray(nxt).copy()
+    while True:
+        t2 = term[term]
+        if np.array_equal(t2, term):
+            break
+        term = t2
+    outlets, labels = np.unique(term, return_inverse=True)
+    return labels, outlets
+
+
+def basin_labels_for_mask(labels, mask):
+    """Basin labels intersecting a boolean grid mask (e.g. the lake),
+    ordered by decreasing overlap."""
+    lab = labels.reshape(mask.shape)[mask]
+    if lab.size == 0:
+        raise ValueError("mask selects no grid cells")
+    vals, counts = np.unique(lab, return_counts=True)
+    return vals[np.argsort(-counts)]
+
+
+def _largest_component(mask):
+    """Largest 4-connected component of a boolean grid (BFS, numpy)."""
+    from scipy import ndimage
+    lab, n = ndimage.label(mask)
+    if n <= 1:
+        return mask
+    sizes = np.bincount(lab.ravel())
+    sizes[0] = 0
+    return lab == np.argmax(sizes)
+
+
+def _trace_mask_boundary(mask, x, y):
+    """Outer boundary loop of a boolean grid mask, traced along cell edges.
+
+    Each true cell contributes its exposed square edges, directed so the
+    inside is on the left; edges are chained into closed loops and the loop
+    enclosing the largest area is returned as (M, 2) vertex coordinates
+    (cell-corner positions, counterclockwise).
+    """
+    mask = np.asarray(mask, dtype=bool)
+    ny, nx = mask.shape
+    dx = float(x[1] - x[0]) if len(x) > 1 else 1.0
+    dy = float(y[1] - y[0]) if len(y) > 1 else 1.0
+
+    pad = np.zeros((ny + 2, nx + 2), dtype=bool)
+    pad[1:-1, 1:-1] = mask
+    inside = pad[1:-1, 1:-1]
+    # corner vertex (i, j) has coordinates (x[j] - dx/2, y[i] - dy/2),
+    # encoded as key i * (nx + 2) + j on the (ny+1) x (nx+1) corner grid
+    W = nx + 2
+
+    edges = {}  # start vertex -> list of end vertices (directed, inside left)
+
+    def add(si, sj, ei, ej):
+        edges.setdefault(si * W + sj, []).append(ei * W + ej)
+
+    ii, jj = np.nonzero(inside)
+    up = ~pad[ii, 1 + jj]        # neighbor (i-1, j): below in y order
+    down = ~pad[ii + 2, 1 + jj]  # neighbor (i+1, j)
+    left = ~pad[ii + 1, jj]
+    right = ~pad[ii + 1, 2 + jj]
+    for i, j, u, d, l, r in zip(ii, jj, up, down, left, right):
+        # CCW orientation w.r.t. (x right, y up) with row i along +y:
+        if u:
+            add(i, j, i, j + 1)           # bottom edge, +x
+        if r:
+            add(i, j + 1, i + 1, j + 1)   # right edge, +y
+        if d:
+            add(i + 1, j + 1, i + 1, j)   # top edge, -x
+        if l:
+            add(i + 1, j, i, j)           # left edge, -y
+
+    loops = []
+    while edges:
+        start = next(iter(edges))
+        loop = [start]
+        cur, prev = start, None
+        while True:
+            outs = edges.get(cur)
+            if not outs:
+                break
+            if len(outs) == 1 or prev is None:
+                nxt_v = outs.pop()
+            else:
+                # checkerboard corner: prefer the left turn (keeps the trace
+                # on the same component)
+                pi, pj = divmod(prev, W)
+                ci, cj = divmod(cur, W)
+                din = (ci - pi, cj - pj)
+                # left turn in (row, col) = rotate (di, dj) -> (dj, -di)
+                want = (ci + din[1], cj - din[0])
+                pick = 0
+                for k, e in enumerate(outs):
+                    if divmod(e, W) == want:
+                        pick = k
+                        break
+                nxt_v = outs.pop(pick)
+            if not edges[cur]:
+                del edges[cur]
+            if nxt_v == start:
+                break
+            loop.append(nxt_v)
+            prev, cur = cur, nxt_v
+        if len(loop) >= 4:
+            loops.append(loop)
+
+    def loop_xy(loop):
+        idx = np.asarray(loop)
+        li, lj = idx // W, idx % W
+        return np.column_stack([x[0] + (lj - 0.5) * dx,
+                                y[0] + (li - 0.5) * dy])
+
+    def area(p):
+        return 0.5 * abs(np.sum(p[:, 0] * np.roll(p[:, 1], -1)
+                                - np.roll(p[:, 0], -1) * p[:, 1]))
+
+    polys = [loop_xy(l) for l in loops]
+    return max(polys, key=area)
+
+
+def simplify_polygon(pts, tol):
+    """Douglas-Peucker simplification of a closed polygon (keeps >= 3 pts)."""
+    pts = np.asarray(pts, np.float64)
+    n = pts.shape[0]
+    if n <= 3 or tol <= 0:
+        return pts
+    # anchor at the two mutually farthest of 4 extreme candidates
+    k0 = int(np.argmin(pts[:, 0]))
+    k1 = int(np.argmax(((pts - pts[k0]) ** 2).sum(1)))
+    a, b = sorted((k0, k1))
+
+    def dp(seg):
+        if seg.shape[0] <= 2:
+            return seg
+        p0, p1 = seg[0], seg[-1]
+        d = p1 - p0
+        L = np.hypot(*d)
+        if L == 0:
+            dist = np.hypot(*(seg - p0).T)
+        else:
+            r = seg - p0
+            dist = np.abs(d[0] * r[:, 1] - d[1] * r[:, 0]) / L
+        k = int(np.argmax(dist))
+        if dist[k] <= tol:
+            return seg[[0, -1]]
+        left = dp(seg[:k + 1])
+        right = dp(seg[k:])
+        return np.vstack([left[:-1], right])
+
+    ring = np.vstack([pts[a:b + 1]])
+    rest = np.vstack([pts[b:], pts[:a + 1]])
+    out = np.vstack([dp(ring)[:-1], dp(rest)[:-1]])
+    if out.shape[0] < 3:
+        return pts
+    return out
+
+
+def basin_outline(x, y, potential, lake_mask=None, lake_outline=None,
+                  n_basins=1, simplify_tol=None, min_area_cells=9):
+    """Catchment outline polygon around a lake, fully automated.
+
+    Replaces create_mesh.ipynb cells 11-16 (FlowObject, drainagebasins, and
+    the hand-traced ``plt.ginput`` polygon).  ``potential`` is the
+    background hydraulic-potential grid (y-major, shape (ny, nx)); the lake
+    is given as a boolean grid mask or an (M, 2) outline polygon.
+    ``n_basins`` >= 1 merges that many top-overlap basins (a lake straddling
+    a drainage divide needs both sides, like the hand trace would include).
+    """
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    phi = np.asarray(potential, np.float64)
+    ny, nx = phi.shape
+    if lake_mask is None:
+        if lake_outline is None:
+            raise ValueError("need lake_mask or lake_outline")
+        from shakti_tpu.mesh.geometry import points_in_polygon
+        X, Y = np.meshgrid(x, y)
+        pts = np.column_stack([X.ravel(), Y.ravel()])
+        lake_mask = points_in_polygon(pts, np.asarray(lake_outline)) \
+            .reshape(ny, nx)
+
+    filled = fill_sinks(phi)
+    nxt = d8_flow(filled, dx=float(x[1] - x[0]), dy=float(y[1] - y[0]))
+    labels, _ = drainage_basins(nxt)
+    chosen = basin_labels_for_mask(labels, lake_mask)[:max(1, n_basins)]
+    mask = np.isin(labels.reshape(ny, nx), chosen)
+    if mask.sum() < min_area_cells:
+        raise ValueError(
+            f"selected basin covers only {int(mask.sum())} cells — "
+            "potential grid too coarse or lake outside the grid")
+    mask = _largest_component(mask)
+    poly = _trace_mask_boundary(mask, x, y)
+    if simplify_tol is None:
+        simplify_tol = 0.75 * max(float(x[1] - x[0]), float(y[1] - y[0]))
+    return simplify_polygon(poly, simplify_tol)
+
+
+def basin_mesh(x, y, potential, lake_mask=None, lake_outline=None,
+               resolution=2000.0, n_basins=1, simplify_tol=None):
+    """potential grid + lake -> (nodes, cells, outline): the automated
+    equivalent of create_mesh.ipynb cells 11-17 (2 km default resolution,
+    cell 17)."""
+    from shakti_tpu.mesh.generate import polygon_mesh
+    outline = basin_outline(x, y, potential, lake_mask=lake_mask,
+                            lake_outline=lake_outline, n_basins=n_basins,
+                            simplify_tol=simplify_tol)
+    nodes, cells = polygon_mesh(outline, resolution)
+    return nodes, cells, outline
