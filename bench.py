@@ -56,6 +56,10 @@ def build_bench_model():
     md.N_init = np.full(md.x.size, md.N_bdry)
     md.timesteps = np.linspace(0, 3.154e7 / 365 * 40, 40 * 24)  # 40 days hourly
     md.nt_save = 24
+    # lean solver config: no dt-halving retry branch — it never triggers in
+    # the timed steady-state windows and would ~double the remote compile
+    from shakti_tpu.solve.newton import NewtonConfig
+    md.solver = NewtonConfig()
     return md
 
 

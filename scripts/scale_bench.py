@@ -38,6 +38,10 @@ def main(nx: int = 1000, steps: int = 12, op: str = "auto"):
     h = 2000.0
     nodes, cells = rectangle_mesh(nx, nx, nx * h, nx * h, jitter=0.25, seed=0)
     md = ModelSetup(nodes, cells)
+    # lean solver config: skip the dt-halving retry branch (compile cost at
+    # scale; steady-state throughput is unaffected either way)
+    from shakti_tpu.solve.newton import NewtonConfig
+    md.solver = NewtonConfig()
     md.z_b = 0.002 * md.x - 100.0
     md.z_s = md.z_b + 1200.0 + 0.001 * (md.x - nx * h / 2)
     md.G = np.full(md.x.size, 0.06)

@@ -88,8 +88,15 @@ class ModelSetup:
         # (a capability beyond the reference's static inputs)
         self.seasonal_inputs = None
 
-        # solver configuration (new: the reference hardcodes PETSc defaults)
-        self.solver = NewtonConfig()
+        # solver configuration (new: the reference hardcodes PETSc defaults).
+        # adaptive_dt_levels=1: one in-graph dt-halving retry when a step's
+        # Newton solve stalls — measured to rescue the reference's own
+        # rough-b cold start (unclamped noisy b_init, setup_cooke2.py:66,
+        # ~46% of nodes start with b<0) at zero steady-state runtime cost;
+        # the price is a ~2x larger compiled step (the retry branch traces
+        # two half-dt sub-steps).  Large-scale runs that would rather fail
+        # fast can set md.solver = NewtonConfig() explicitly.
+        self.solver = NewtonConfig(adaptive_dt_levels=1)
         # operator format: 'auto' = block-ELL (MXU SpMV) on TPU with RCB
         # node reordering, scalar ELL elsewhere; or 'ell' / 'bell' / 'cells'
         self.operator = "auto"

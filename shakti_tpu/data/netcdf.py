@@ -17,11 +17,27 @@ def read_grid(path: str, var: str, xvar: str = "x", yvar: str = "y",
               flip_y: str = "auto"):
     """Read (x, y, f) from a netCDF file; ensures ascending x and y.
 
+    Prefers the netCDF4 library; falls back to h5py (netCDF-4 files ARE
+    HDF5 files, so BedMachine/ATL14/AQ1-format data stay readable in
+    environments without netCDF4 — only netCDF-3 classic files need the
+    real library).
+
     ``flip_y='auto'`` flips rows when the y axis is descending (BedMachine's
     convention — reference setup_cooke2.py:40-42 does np.flipud by hand).
     """
-    from netCDF4 import Dataset  # optional dependency
+    x, y, f = _read_vars(path, var, xvar, yvar)
+    if x.size >= 2 and x[1] < x[0]:
+        x, f = x[::-1], f[:, ::-1]
+    if flip_y == "auto" and y.size >= 2 and y[1] < y[0]:
+        y, f = y[::-1], np.flipud(f)
+    return x, y, f
 
+
+def _read_vars(path: str, var: str, xvar: str, yvar: str):
+    try:
+        from netCDF4 import Dataset  # optional dependency
+    except ImportError:
+        return _read_vars_h5(path, var, xvar, yvar)
     ds = Dataset(path)
     try:
         f = np.asarray(ds[var][:]).astype(np.float64)
@@ -31,10 +47,19 @@ def read_grid(path: str, var: str, xvar: str = "x", yvar: str = "y",
         y = np.asarray(ds[yvar][:]).astype(np.float64)
     finally:
         ds.close()
-    if x.size >= 2 and x[1] < x[0]:
-        x, f = x[::-1], f[:, ::-1]
-    if flip_y == "auto" and y.size >= 2 and y[1] < y[0]:
-        y, f = y[::-1], np.flipud(f)
+    return x, y, f
+
+
+def _read_vars_h5(path: str, var: str, xvar: str, yvar: str):
+    """netCDF-4 (= HDF5) fallback reader.  Applies _FillValue masking the
+    way netCDF4's masked arrays would (filled with the fill value, i.e. the
+    raw stored numbers — the reference uses .data, setup_cooke2.py:40)."""
+    import h5py  # optional dependency
+
+    with h5py.File(path, "r") as h5:
+        f = np.asarray(h5[var][()], dtype=np.float64)
+        x = np.asarray(h5[xvar][()], dtype=np.float64).reshape(-1)
+        y = np.asarray(h5[yvar][()], dtype=np.float64).reshape(-1)
     return x, y, f
 
 

@@ -185,12 +185,24 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
     return out
 
 
-def with_dt_halving(base, level: int = 0):
+def with_dt_halving(base, level: int = 0, accept_rtol: float = 1e-4):
     """Wrap a step function with one dt-halving retry level: a failed step
     is redone as two half-dt sub-steps (in-graph lax.cond; SURVEY §5 —
     replaces the reference's assert-abort with graceful dt fallback).
     Stack levels for repeated halving.  ``forcing`` may be a plain dt
-    scalar or the run layer's forcing dict (only its 'dt' entry is halved)."""
+    scalar or the run layer's forcing dict (only its 'dt' entry is halved).
+
+    Composite acceptance: both sub-steps certifying convergence, OR the
+    final sub-step certifying AND the final residual sitting deeply below
+    the step's initial scale (``accept_rtol``, the stall-acceptance
+    criterion of solve/newton.py).  The second clause matters for
+    degenerate cold starts (nodes with b ~ 0 make Jacobian rows near-null,
+    see VALIDATION.md): the first half-step's own certificate can fail on
+    the irreducible rows while its best iterate is good enough that the
+    second half-step then converges to machine level — measured on the
+    reference's unclamped noisy b_init (setup_cooke2.py:66): step-0
+    residual 11 -> 2e-11 with one halving, while the strict AND still
+    reported failure."""
 
     def halve(forcing):
         if isinstance(forcing, dict):
@@ -204,11 +216,14 @@ def with_dt_halving(base, level: int = 0):
             half = halve(forcing)
             sa, da = base(state, half)
             sb, db = base(sa, half)
+            tiny = jnp.asarray(jnp.finfo(db["rnorm"].dtype).tiny,
+                               db["rnorm"].dtype)
+            deep = db["rnorm"] <= accept_rtol * jnp.maximum(da["rnorm0"], tiny)
             diag = {
                 "newton_iters": da["newton_iters"] + db["newton_iters"],
                 "rnorm": db["rnorm"],
                 "rnorm0": da["rnorm0"],
-                "converged": da["converged"] & db["converged"],
+                "converged": db["converged"] & (da["converged"] | deep),
                 "cg_iters": da["cg_iters"] + db["cg_iters"],
             }
             return sb, diag

@@ -172,3 +172,41 @@ def test_checkpoint_mesh_fingerprint(tmp_path):
     assert out is not None and out[1] == 5 and out[2] == 1
     with pytest.raises(ValueError, match="different mesh"):
         ckpt.load_state(str(tmp_path), fingerprint=fp_b)
+
+
+def test_dt_halving_rescues_rough_b_cold_start():
+    """dt-halving with the REAL solver: the reference's own cold start
+    (unclamped noisy b_init, setup_cooke2.py:66 — ~46% of nodes get b<0,
+    the degenerate limit documented in VALIDATION.md) makes step 0 stall
+    at levels=0 and converge with one halving level — the basis for the
+    ModelSetup default adaptive_dt_levels=1."""
+    from shakti_tpu.api.model import ModelSetup
+    from shakti_tpu.mesh.generate import rectangle_mesh
+
+    L = 100e3
+    nodes, cells = rectangle_mesh(12, 12, L, L, jitter=0.2, seed=3)
+    md = ModelSetup(nodes, cells)
+    md.z_b = -400.0 + 0.004 * md.x + 0.002 * md.y
+    md.z_s = md.z_b + 1500.0 - 0.006 * md.x
+    md.G = np.full(md.x.size, 0.055)
+    md.N_bdry = 3.7e5
+    md.OutflowBoundary = lambda p: p[:, 0] < 1e-3
+    rng = np.random.default_rng(0)
+    md.b_init = 0.001 + rng.normal(scale=0.005, size=md.x.size)  # unclamped
+    md.N_init = np.full(md.x.size, md.N_bdry)
+    md.timesteps = np.linspace(0, 21600, 7)
+    mesh, static, state, cfg = md.freeze()
+    assert cfg.adaptive_dt_levels == 1          # the ModelSetup default
+    dts = timestep_sizes(md.timesteps, dtype=md.dtype)
+
+    plain = dataclasses.replace(cfg, adaptive_dt_levels=0)
+    s0, d0 = jax.jit(make_step_fn(mesh, static, md.params, plain))(
+        state, dts[0])
+    assert not bool(np.asarray(d0["converged"]))   # genuinely hard step
+
+    s1, d1 = jax.jit(make_step_fn(mesh, static, md.params, cfg))(
+        state, dts[0])
+    assert bool(np.asarray(d1["converged"]))
+    # the retry really ran two half-steps' worth of Newton work
+    assert int(np.asarray(d1["newton_iters"])) > int(np.asarray(d0["newton_iters"])) // 2
+    assert np.isfinite(np.asarray(s1.N)).all()

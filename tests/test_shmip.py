@@ -44,3 +44,44 @@ def test_shmip_suite_a_structure():
     # surface function matches the SHMIP definition at the margin and divide
     assert abs(shmip.surface(0.0) - 1.0) < 1e-9
     assert 1400.0 < shmip.surface(100e3) < 1900.0
+
+
+def test_shmip_a1_matches_independent_1d_oracle():
+    """Quantitative SHMIP anchor: at low input (A1) the 2D transient
+    converges to the y-uniform steady branch, which the independent scipy
+    shooting oracle (oracle/shmip_oracle.py) solves with a completely
+    different discretization.  Measured: relN ~ 4e-4 after 2 years
+    (see SHMIP.md); asserted with 10x headroom."""
+    from oracle.shmip_oracle import steady_profile
+
+    md = shmip.initialize("A1", nx=60, ny=12, days=365 * 2, nt_per_day=4)
+    mesh, static, state, cfg = md.freeze()
+    step = make_step_fn(mesh, static, md.params, cfg)
+    dts = timestep_sizes(md.timesteps, dtype=md.dtype)
+    state, d = jax.jit(lambda s, t: run_window(step, s, t))(state, dts)
+    assert bool(np.asarray(d["converged"]).all())
+
+    p = steady_profile("A1")
+    x = md.x
+    win = (x > 30e3) & (x < 90e3)
+    No = np.interp(x, p["x"], p["N"])
+    bo = np.interp(x, p["x"], p["b"])
+    N2, b2 = np.asarray(state.N), np.asarray(state.b)
+    relN = np.linalg.norm(N2[win] - No[win]) / np.linalg.norm(No[win])
+    relb = np.linalg.norm(b2[win] - bo[win]) / np.linalg.norm(bo[win])
+    assert relN < 5e-3, relN
+    assert relb < 2e-2, relb
+
+    # exact global mass conservation at the steady state: reaction-force
+    # boundary discharge == independently quadratured interior production,
+    # and both match the oracle's margin discharge
+    from shakti_tpu.solve import diagnostics as diag
+    Q_out = diag.boundary_discharge(mesh, static, state, md.params)
+    Q_src = diag.water_production(mesh, static, state, md.params)
+    assert abs(Q_out - Q_src) / Q_src < 0.02, (Q_out, Q_src)
+    # the near-margin zone equilibrates over centuries (closure rate A N^3
+    # with N ~ 10 kPa), so its dissipation melt — hence total discharge —
+    # keeps creeping toward the oracle value for a long time (0.52 vs 0.469
+    # at 10 years, SHMIP.md); assert the physical scale, not convergence
+    Q_oracle = -p["q_margin"] * 20e3
+    assert abs(Q_out - Q_oracle) / Q_oracle < 0.15, (Q_out, Q_oracle)
