@@ -57,9 +57,16 @@ def build_bench_model():
     md.timesteps = np.linspace(0, 3.154e7 / 365 * 40, 40 * 24)  # 40 days hourly
     md.nt_save = 24
     # lean solver config: no dt-halving retry branch — it never triggers in
-    # the timed steady-state windows and would ~double the remote compile
+    # the timed steady-state windows and would ~double the remote compile.
+    # lag_operator: reuse the previous step's folded operator + coarse-PC
+    # inverse on iteration 0 (solve/newton.py); at the bench's steady state
+    # the stale-operator iteration still converges in 1 Newton/step, so the
+    # Jacobian/fold/coarse-inv kernels drop out of the step entirely
+    # (override with SHAKTI_LAG_OPERATOR=0 for A/B runs).
+    import os
     from shakti_tpu.solve.newton import NewtonConfig
-    md.solver = NewtonConfig()
+    lag = os.environ.get("SHAKTI_LAG_OPERATOR", "1") == "1"
+    md.solver = NewtonConfig(lag_operator=lag)
     return md
 
 

@@ -248,6 +248,14 @@ class ModelSetup:
             while n // blk > 1536:
                 blk *= 2
             cfg = _dc.replace(cfg, coarse_block=blk)
+        if cfg.lag_operator:
+            # seed the carried-operator slot (invalid until step 1 builds
+            # it) — AFTER the coarse_block adjustment so A_inv's shape
+            # matches what the Newton loop will build
+            import dataclasses as _dc2
+            from shakti_tpu.solve.newton import zero_lag
+            state0 = _dc2.replace(state0,
+                                  lag_op=zero_lag(mesh, self.dtype, cfg))
         return mesh, static, state0, cfg
 
     # ------------------------------------------------------------------ solve

@@ -143,6 +143,11 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         mesh, static, state0, cfg = md.freeze()
         if state is None:
             state = state0
+        elif cfg.lag_operator and state.lag_op is None:
+            # checkpoints don't persist the carried operator; reseed it
+            import dataclasses as _dc
+            from shakti_tpu.solve.newton import zero_lag
+            state = _dc.replace(state, lag_op=zero_lag(mesh, md.dtype, cfg))
         step_fn = make_step_fn(mesh, static, md.params, cfg)
         runner = jax.jit(lambda s, d: run_window(step_fn, s, d))
         extract = lambda st: st

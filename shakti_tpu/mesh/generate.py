@@ -38,22 +38,23 @@ def rectangle_mesh(nx: int, ny: int, lx: float, ly: float,
         pert = rng.uniform(-1.0, 1.0, size=nodes.shape)
         nodes[interior] += jitter * pert[interior] * np.array([hx, hy])
 
-    def nid(i, j):
-        return j * (nx + 1) + i
-
-    cells = []
-    for j in range(ny):
-        for i in range(nx):
-            a, b = nid(i, j), nid(i + 1, j)
-            c, d = nid(i + 1, j + 1), nid(i, j + 1)
-            flip = (diagonal == "alternating") and ((i + j) % 2 == 1)
-            if flip:
-                cells.append([a, b, d])
-                cells.append([b, c, d])
-            else:
-                cells.append([a, b, c])
-                cells.append([a, c, d])
-    return nodes, np.asarray(cells, dtype=np.int32)
+    # vectorized cell construction (10M-node meshes need this: the loop
+    # version took minutes and gigabytes of Python lists)
+    ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="xy")
+    ii, jj = ii.ravel(), jj.ravel()
+    a = jj * (nx + 1) + ii
+    b = a + 1
+    c = b + (nx + 1)
+    d = a + (nx + 1)
+    flip = (diagonal == "alternating") & (((ii + jj) % 2) == 1)
+    t1 = np.where(flip[:, None], np.stack([a, b, d], 1),
+                  np.stack([a, b, c], 1))
+    t2 = np.where(flip[:, None], np.stack([b, c, d], 1),
+                  np.stack([a, c, d], 1))
+    cells = np.empty((2 * a.size, 3), dtype=np.int32)
+    cells[0::2] = t1
+    cells[1::2] = t2
+    return nodes, cells
 
 
 def polygon_mesh(outline: np.ndarray, resolution: float, *, margin: float = 0.45):

@@ -17,11 +17,19 @@ from the VMEM-resident vector with *aligned dynamic slices*:
 Grid = NB8/8 groups of row-blocks; the pipeline streams vals (the large
 operand) HBM->VMEM while x stays resident.
 
-Status: measured ~parity with the XLA block-ELL path at 12k dof
-(0.32 ms vs 0.18 ms — XLA's row-gather + batched einsum is already
-bandwidth-efficient there; the f32 HIGHEST-precision MXU passes cost 3x).
-Kept as the foundation for the very-large-mesh regime and enabled with
-SHAKTI_PALLAS_SPMV=1 (see physics/residual.make_operator).
+Status (measured, v5e, 12.3k dof, r2): as a STANDALONE launch the kernel
+beats the XLA path 3x (1.08 ms vs 3.22 ms — fewer dispatches through the
+axon tunnel), but IN-PROGRAM, inside the jitted Newton/CG loop where it
+matters, it LOSES: bench 19.8 ms/step (pallas) vs 18.6 ms/step (XLA).
+Two reasons: (a) pallas_call is an opaque boundary — XLA fuses the
+row-gather + einsum matvec with the surrounding Dirichlet masking and CG
+vector work, but cannot fuse into the kernel; (b) the wrapper's
+vals-transpose/pad prologue is not hoisted out of the while_loop, so it
+re-executes every CG iteration.  The only regime this kernel targets is
+block-ELL meshes (<= 200k nodes; larger meshes use BCSR), so there is no
+large-scale regime left where it wins — the XLA path stays the default.
+Kept as a working PrefetchScalarGridSpec reference and enabled with
+SHAKTI_PALLAS_SPMV=1 (see physics/residual.operator_from_values).
 """
 
 from __future__ import annotations

@@ -31,12 +31,19 @@ def build_distributed(md, jmesh, axis: str = "x"):
     (leading axis P*·, shard_map-ready) and plan the host-side halo plan.
     """
     mesh, static, state, cfg = md.freeze()
-    # distributed mode uses the cell-based operator + jacobi/halo reductions
-    cfg = dataclasses.replace(cfg, precond="jacobi")
     Pn = jmesh.shape[axis]
     n = mesh.n_nodes
     cells_np = np.asarray(mesh.cells)
     plan = H.build_halo(n, cells_np, Pn)
+    # per-shard additive two-level preconditioner (precond.py
+    # make_local_two_level) when the user kept the two_level default; cap
+    # the local dense coarse problem ~1k dofs.  The lagged-operator carry
+    # is not supported on the halo path (per-shard operator rebuilds are
+    # cheap relative to the all_to_all traffic anyway).
+    blk = cfg.coarse_block
+    while plan["L"] // blk > 1024:
+        blk *= 2
+    cfg = dataclasses.replace(cfg, coarse_block=blk, lag_operator=False)
     dtype = np.asarray(mesh.area).dtype
 
     cell_ids = plan["cell_ids"]                       # (P, cmax)

@@ -212,23 +212,63 @@ def make_matvec(J_c, mesh, dirichlet):
     return matvec
 
 
-def make_operator(J_c, mesh, dirichlet):
-    """(matvec, diag) for A = -J with Dirichlet elimination.
+def operator_values_shape(mesh):
+    """Shape of the folded row-storage values array for this mesh's
+    operator format (for seeding the lagged-operator carry with zeros)."""
+    if mesh.bcsr_brow is not None:
+        return (mesh.bcsr_brow.shape[0], mesh.bcsr_B, mesh.bcsr_B)
+    if mesh.bell_nbr is not None:
+        NB, KB = mesh.bell_nbr.shape
+        return (NB, KB, mesh.bell_B, mesh.bell_B)
+    if mesh.ell_cols is not None:
+        return mesh.ell_cols.shape
+    raise ValueError("mesh has no foldable operator structure")
 
-    Prefers the scatter-free ELL path (fem/ell.py) when the mesh carries ELL
-    structure: the element blocks are folded into row storage once, so every
-    Krylov iteration is pure gather work — the TPU-critical optimization
-    (XLA scatters serialize; measured ~10x SpMV speedup at 12k dof).
-    Shard-local meshes (parallel/shard.py) fall back to the cell-based
-    matvec + psum path.
-    """
+
+def fold_operator_values(J_c, mesh):
+    """Element blocks -> row-storage values of A = -J in the mesh's
+    operator format (BCSR / block-ELL / ELL).  Split from
+    :func:`make_operator` so the lagged-operator Newton path
+    (solve/newton.py) can carry folded values across timesteps."""
     if mesh.bcsr_brow is not None:
         from shakti_tpu.fem import bcsr as bcsrm
-        nnzb = mesh.bcsr_brow.shape[0]
-        vals = -bcsrm.bcsr_from_elements(J_c, mesh.bcsr_blk, mesh.bcsr_off,
-                                         nnzb, mesh.bcsr_B)
-        a_diag = bcsrm.bcsr_diag(vals, mesh.bcsr_diag_blk, mesh.bcsr_diag_off)
-        n = mesh.n_nodes
+        return -bcsrm.bcsr_from_elements(J_c, mesh.bcsr_blk, mesh.bcsr_off,
+                                         mesh.bcsr_brow.shape[0], mesh.bcsr_B)
+    if mesh.bell_nbr is not None:
+        from shakti_tpu.fem import bell as bellm
+        NB, KB = mesh.bell_nbr.shape
+        return -bellm.bell_from_elements(J_c, mesh.bell_map, NB, KB,
+                                         mesh.bell_B)
+    if mesh.ell_cols is not None:
+        from shakti_tpu.fem import ell as ellm
+        n, K = mesh.ell_cols.shape
+        return -ellm.ell_from_elements(J_c, mesh.ell_map, n, K)
+    raise ValueError("mesh has no foldable operator structure")
+
+
+def operator_diag_from_values(vals, mesh):
+    """Assembled diagonal of A from folded row-storage values."""
+    if mesh.bcsr_brow is not None:
+        from shakti_tpu.fem import bcsr as bcsrm
+        return bcsrm.bcsr_diag(vals, mesh.bcsr_diag_blk, mesh.bcsr_diag_off)
+    if mesh.bell_nbr is not None:
+        from shakti_tpu.fem import bell as bellm
+        return bellm.bell_diag(vals, mesh.bell_diag_pos)
+    from shakti_tpu.fem import ell as ellm
+    a_diag = ellm.ell_diag(vals, mesh.ell_diag_slot)
+    if mesh.halo is not None:
+        # shard-local ELL rows hold only this device's cell
+        # contributions; complete them across partition boundaries
+        a_diag = mesh.halo.accumulate(a_diag)
+    return a_diag
+
+
+def operator_from_values(vals, mesh, dirichlet):
+    """Matvec of A = -J (symmetric Dirichlet elimination) from folded
+    row-storage values."""
+    n = mesh.n_nodes
+    if mesh.bcsr_brow is not None:
+        from shakti_tpu.fem import bcsr as bcsrm
 
         def matvec(x):
             xf = jnp.where(dirichlet, 0.0, x)
@@ -236,16 +276,10 @@ def make_operator(J_c, mesh, dirichlet):
                                   n, mesh.bcsr_NB)
             return jnp.where(dirichlet, x, y)
 
-        return matvec, a_diag
-
+        return matvec
     if mesh.bell_nbr is not None:
         import os
         from shakti_tpu.fem import bell as bellm
-        NB, KB = mesh.bell_nbr.shape
-        B = mesh.bell_B
-        vals = -bellm.bell_from_elements(J_c, mesh.bell_map, NB, KB, B)
-        a_diag = bellm.bell_diag(vals, mesh.bell_diag_pos)
-        n = mesh.n_nodes
         use_pallas = os.environ.get("SHAKTI_PALLAS_SPMV", "0") == "1"
 
         def matvec(x):
@@ -257,26 +291,34 @@ def make_operator(J_c, mesh, dirichlet):
                 y = bellm.bell_matvec(vals, mesh.bell_nbr, xf, n)
             return jnp.where(dirichlet, x, y)
 
-        return matvec, a_diag
+        return matvec
+    from shakti_tpu.fem import ell as ellm
 
-    if mesh.ell_cols is not None:
-        from shakti_tpu.fem import ell as ellm
-        n, K = mesh.ell_cols.shape
-        vals = -ellm.ell_from_elements(J_c, mesh.ell_map, n, K)
-        a_diag = ellm.ell_diag(vals, mesh.ell_diag_slot)
+    def matvec(x):
+        xf = jnp.where(dirichlet, 0.0, x)
+        y = ellm.ell_matvec(vals, mesh.ell_cols, xf)
         if mesh.halo is not None:
-            # shard-local ELL rows hold only this device's cell
-            # contributions; complete them across partition boundaries
-            a_diag = mesh.halo.accumulate(a_diag)
+            y = mesh.halo.accumulate(y)
+        return jnp.where(dirichlet, x, y)
 
-        def matvec(x):
-            xf = jnp.where(dirichlet, 0.0, x)
-            y = ellm.ell_matvec(vals, mesh.ell_cols, xf)
-            if mesh.halo is not None:
-                y = mesh.halo.accumulate(y)
-            return jnp.where(dirichlet, x, y)
+    return matvec
 
-        return matvec, a_diag
+
+def make_operator(J_c, mesh, dirichlet):
+    """(matvec, diag) for A = -J with Dirichlet elimination.
+
+    Prefers the scatter-free ELL path (fem/ell.py) when the mesh carries ELL
+    structure: the element blocks are folded into row storage once, so every
+    Krylov iteration is pure gather work — the TPU-critical optimization
+    (XLA scatters serialize; measured ~10x SpMV speedup at 12k dof).
+    Shard-local meshes (parallel/shard.py) fall back to the cell-based
+    matvec + psum path.
+    """
+    if (mesh.bcsr_brow is not None or mesh.bell_nbr is not None
+            or mesh.ell_cols is not None):
+        vals = fold_operator_values(J_c, mesh)
+        a_diag = operator_diag_from_values(vals, mesh)
+        return operator_from_values(vals, mesh, dirichlet), a_diag
 
     a_diag = -jacobian_diag(J_c, mesh)
     return make_matvec(J_c, mesh, dirichlet), a_diag

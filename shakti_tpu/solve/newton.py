@@ -84,6 +84,24 @@ class NewtonConfig:
     # (the reference starts from the previous solution, solvers.py:48;
     # extrapolation starts ~10x closer mid-run at zero cost).
     extrapolate_guess: bool = True
+    # Lagged (modified-Newton) operator: iteration 0 of each step reuses the
+    # previous step's folded operator values + coarse-preconditioner inverse
+    # (carried in State.lag_op); iterations >= 1 rebuild fresh.  The
+    # convergence test always uses the EXACT assembled residual, so a stale
+    # operator can only cost extra iterations, never accuracy (inexact-
+    # Newton argument).  Near steady state with guess extrapolation the
+    # common step is a single iteration, so the Jacobian assembly, the
+    # element->row fold, and the coarse-inverse build drop out of the
+    # per-step cost entirely.  Requires a foldable operator format
+    # (bell/bcsr/ell); the caller must seed State.lag_op (api/model.freeze).
+    lag_operator: bool = False
+    # Carry age cap: when every step converges in the single reused
+    # iteration, the carry would otherwise NEVER refresh (measured: the
+    # step-1 cold-start operator reused 300 steps later turned 3.8 CG
+    # iters/step into 67.8 on the TPU bench).  A step whose carry is older
+    # than this skips the reuse iteration and rebuilds, refreshing the
+    # carry — so 1 step in (lag_max_age+1) pays full build cost.
+    lag_max_age: int = 8
     # Increment criterion: accept when the Newton update becomes negligible,
     # ||dN|| <= inc_rtol * ||N||.  The residual norm in f32 floors at
     # evaluation noise (eps * |N| propagated through the form) long before
@@ -107,8 +125,25 @@ class NewtonConfig:
         return self
 
 
+def zero_lag(mesh, dirichlet_dtype, cfg: NewtonConfig):
+    """Invalid-but-shape-correct lag_op carry (ok=False, age=0, zero
+    values) for seeding State.lag_op before the first step
+    (see cfg.lag_operator)."""
+    from shakti_tpu.physics import residual as res
+    dtype = dirichlet_dtype
+    vals = jnp.zeros(res.operator_values_shape(mesh), dtype)
+    a_diag = jnp.zeros((mesh.n_nodes,), dtype)
+    if cfg.precond == "two_level" and mesh.paxis is None and mesh.halo is None:
+        m = -(-mesh.n_nodes // cfg.coarse_block)
+        A_inv = jnp.zeros((m, m), dtype)
+    else:
+        A_inv = None
+    return (jnp.asarray(False), jnp.asarray(0, jnp.int32), vals, a_diag,
+            A_inv)
+
+
 def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
-                 cfg: NewtonConfig, N_ref=None):
+                 cfg: NewtonConfig, N_ref=None, lag=None):
     """Solve F(N) = 0 for effective pressure.
 
     ``N_init`` is the starting iterate (possibly a time-extrapolated guess);
@@ -118,8 +153,12 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
     (collapsed-sheet) directions with sub-floor residuals, so it is never
     accepted without at least one regularized Newton iteration.
 
+    ``lag``: carried operator (ok, vals, a_diag, A_inv) when
+    cfg.lag_operator (see there); the updated carry is returned in
+    stats["lag"].
+
     Returns (N, stats) with stats = dict(iters, rnorm0, rnorm, converged,
-    cg_iters).  Fully traceable; call under jit/scan.
+    cg_iters[, lag]).  Fully traceable; call under jit/scan.
     """
     lin_solve = krylov.get_solver(cfg.krylov)
     # reductions: ghost-masked + psum'd in node-sharded SPMD mode
@@ -162,15 +201,47 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
     def converged_fn(rnorm):
         return (rnorm < atol_eff) | (rnorm <= cfg.rtol * rscale)
 
+    use_two_level = (cfg.precond == "two_level" and mesh.paxis is None
+                     and mesh.halo is None)
+    lag_on = bool(cfg.lag_operator)
+    if lag_on and lag is None:
+        lag = zero_lag(mesh, N0.dtype, cfg)
+
+    def build_op(N):
+        from shakti_tpu.solve import precond as pc
+        J_c = res.element_jacobian(N, pre, mesh, params)
+        vals = res.fold_operator_values(J_c, mesh)
+        a_diag = res.operator_diag_from_values(vals, mesh)
+        A_inv = (pc.coarse_inverse(J_c, mesh, dirichlet, cfg.coarse_block)
+                 if use_two_level else None)
+        return (jnp.asarray(True), jnp.asarray(0, jnp.int32), vals, a_diag,
+                A_inv)
+
     def cond(s):
-        N, r, rnorm, N_best, rn_best, stall, k, cg_total, bad, done = s
+        N, r, rnorm, N_best, rn_best, stall, k, cg_total, bad, done, op = s
         return ((~done) & (k < cfg.max_iter) & (~bad)
                 & (stall < cfg.stall_patience))
 
-    def body(s):
-        N, r, rnorm, N_best, rn_best, stall, k, cg_total, bad, done = s
-        J_c = res.element_jacobian(N, pre, mesh, params)
-        matvec0, a_diag = res.make_operator(J_c, mesh, dirichlet)
+    def make_body(reuse_op: bool):
+      # Two statically-specialized bodies instead of an in-graph lax.cond:
+      # the cond-inside-while formulation SIGILL-crashes the TPU backend's
+      # fusion pass (TpuPriorityFusionQueue::NormalizedComputationCost,
+      # observed on v5e libtpu 2026-08); the peeled-loop structure below
+      # avoids cond entirely.
+      def body(s):
+        N, r, rnorm, N_best, rn_best, stall, k, cg_total, bad, done, op = s
+        if reuse_op:
+            # iteration 0 under cfg.lag_operator: the carried operator
+            _, _, vals, a_diag, A_inv = op
+            matvec0 = res.operator_from_values(vals, mesh, dirichlet)
+        elif lag_on:
+            # rebuild at the current iterate and refresh the carry
+            op = build_op(N)
+            _, _, vals, a_diag, A_inv = op
+            matvec0 = res.operator_from_values(vals, mesh, dirichlet)
+        else:
+            J_c = res.element_jacobian(N, pre, mesh, params)
+            matvec0, a_diag = res.make_operator(J_c, mesh, dirichlet)
         # regularize degenerate (clamped-sheet) rows: see diag_floor_rel
         dmax = jnp.max(jnp.where(dirichlet, 0.0, jnp.abs(a_diag)))
         if mesh.halo is not None:
@@ -180,8 +251,16 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
                           jnp.maximum(0.0, cfg.diag_floor_rel * dmax - a_diag))
         matvec = lambda x: matvec0(x) + extra * x
         a_diag = a_diag + extra
-        minv = make_preconditioner(cfg.precond, J_c, mesh, dirichlet, a_diag,
-                                   cfg.coarse_block)
+        if lag_on:
+            from shakti_tpu.solve import precond as pc
+            tiny_d = jnp.asarray(jnp.finfo(a_diag.dtype).tiny, a_diag.dtype)
+            minv = (pc.two_level_from_inverse(
+                        A_inv, a_diag, dirichlet, cfg.coarse_block,
+                        mesh.n_nodes) if use_two_level
+                    else pc.make_jacobi(a_diag, dirichlet, tiny_d))
+        else:
+            minv = make_preconditioner(cfg.precond, J_c, mesh, dirichlet,
+                                       a_diag, cfg.coarse_block)
         rhs = r                                             # A dN = F (r == masked F)
         dN, lin_info = lin_solve(matvec, rhs, minv,
                                  rtol=cfg.lin_rtol, atol=0.1 * atol_eff,
@@ -221,14 +300,27 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         N_best = jnp.where(better, N, N_best)
         rn_best = jnp.where(better, rnorm_new, rn_best)
         return (N, r, rnorm_new, N_best, rn_best, stall, k + 1,
-                cg_total + lin_info["iters"], bad, done)
+                cg_total + lin_info["iters"], bad, done, op)
+
+      return body
 
     # The guess is never accepted without an iteration (see docstring):
     # initial 'done' is the trusted-state skip only.
     init = (N0, r0, rnorm0, N0, rnorm0, 0, 0, 0, ~jnp.isfinite(rnorm0),
-            skip)
-    N, r, rnorm, N_best, rn_best, stall, k, cg_total, bad, done = \
-        jax.lax.while_loop(cond, body, init)
+            skip, lag if lag_on else jnp.asarray(False))
+    if lag_on:
+        # peeled iteration 0 with the carried operator (runs at most once,
+        # and only when the carry is valid and young enough), then the
+        # standard rebuild loop
+        def cond0(s):
+            op = s[10]
+            return (cond(s) & (s[6] == 0) & op[0]
+                    & (op[1] <= cfg.lag_max_age))
+        mid = jax.lax.while_loop(cond0, make_body(True), init)
+        out = jax.lax.while_loop(cond, make_body(False), mid)
+    else:
+        out = jax.lax.while_loop(cond, make_body(False), init)
+    N, r, rnorm, N_best, rn_best, stall, k, cg_total, bad, done, op_out = out
     # On a clean exit keep the last iterate; on a stalled/cycling exit keep
     # the best iterate seen, and accept it if it made a deep relative
     # reduction (roundoff floor or Newton limit cycle, not divergence).
@@ -243,4 +335,6 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         "converged": accepted & (~bad),
         "cg_iters": cg_total,
     }
+    if lag_on:
+        stats["lag"] = op_out
     return N_out, stats

@@ -34,20 +34,15 @@ def make_jacobi(a_diag, dirichlet, tiny):
     return lambda r: minv * r
 
 
-def make_two_level(J_c, mesh, dirichlet, a_diag, block: int = 64):
-    """Additive two-level preconditioner for A = -J.
-
-    z = D^{-1} r + P (A_c^{-1} (P^T r)),  P = piecewise-constant over
-    contiguous node blocks of ``block`` dofs.
-    """
+def coarse_inverse(J_c, mesh, dirichlet, block: int = 64):
+    """Dense inverse of the Galerkin coarse operator A_c = P^T (-J)|_free P
+    for piecewise-constant P over contiguous ``block``-node aggregates
+    (one segment-sum + one inv).  Split out of make_two_level so the
+    lagged-operator path (solve/newton.py) can carry it across steps."""
     n = mesh.n_nodes
     m = -(-n // block)
-    pad = m * block - n
-    dtype = a_diag.dtype
+    dtype = J_c.dtype
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-    jacobi = make_jacobi(a_diag, dirichlet, tiny)
-
-    # ---- coarse operator A_c = P^T (-J)|_free P  (one segment-sum) ----
     free = (~dirichlet).astype(dtype)
     wc = free[mesh.cells]                                    # (c, 3)
     w9 = wc[:, :, None] * wc[:, None, :]                     # (c, 3, 3)
@@ -62,7 +57,17 @@ def make_two_level(J_c, mesh, dirichlet, a_diag, block: int = 64):
     # single small matmul.  (cho_solve's triangular solves lower to many
     # sequential ops on TPU — measured slower per apply than inv()'s one-off
     # cost amortized over ~26 CG iterations.)
-    A_inv = jnp.linalg.inv(A_c)
+    return jnp.linalg.inv(A_c)
+
+
+def two_level_from_inverse(A_inv, a_diag, dirichlet, block: int, n: int):
+    """Two-level apply z = D^{-1} r + P A_inv P^T r from a prebuilt coarse
+    inverse (possibly carried from an earlier step)."""
+    m = A_inv.shape[0]
+    pad = m * block - n
+    dtype = a_diag.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    jacobi = make_jacobi(a_diag, dirichlet, tiny)
 
     def apply(r):
         rf = jnp.where(dirichlet, 0.0, r)
@@ -75,10 +80,71 @@ def make_two_level(J_c, mesh, dirichlet, a_diag, block: int = 64):
     return apply
 
 
+def make_two_level(J_c, mesh, dirichlet, a_diag, block: int = 64):
+    """Additive two-level preconditioner for A = -J.
+
+    z = D^{-1} r + P (A_c^{-1} (P^T r)),  P = piecewise-constant over
+    contiguous node blocks of ``block`` dofs.
+    """
+    A_inv = coarse_inverse(J_c, mesh, dirichlet, block)
+    return two_level_from_inverse(A_inv, a_diag, dirichlet, block,
+                                  mesh.n_nodes)
+
+
+def make_local_two_level(J_c, mesh, dirichlet, a_diag, block: int = 64):
+    """Per-shard additive two-level for node-sharded SPMD (mesh.halo set).
+
+    Each shard Galerkin-coarsens its OWN cells over contiguous local-node
+    aggregates restricted to owned rows, dense-solves its local coarse
+    problem, and pushes owner corrections to ghost copies so the
+    preconditioned vector stays replication-consistent (one extra
+    all_to_all per Krylov iteration).  Block-Jacobi across shards at the
+    coarse level: boundary couplings owned by neighbor shards are dropped
+    from the coarse operator — an approximation CG tolerates, and the
+    difference to plain Jacobi is decisive at scale (smooth in-shard error
+    modes are exactly what Jacobi cannot damp; only the P-dimensional
+    cross-shard space is left untreated)."""
+    halo = mesh.halo
+    n = mesh.n_nodes                     # local slot count L
+    m = -(-n // block)
+    pad = m * block - n
+    dtype = a_diag.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    jacobi = make_jacobi(a_diag, dirichlet, tiny)
+
+    free = (~dirichlet).astype(dtype) * halo.owned_mask
+    wc = free[mesh.cells]                                    # (c, 3)
+    w9 = wc[:, :, None] * wc[:, None, :]                     # (c, 3, 3)
+    agg = mesh.cells // block                                # (c, 3) int
+    map9 = (agg[:, :, None] * m + agg[:, None, :]).reshape(-1)
+    flat = (-J_c * w9).reshape(-1)
+    A_c = jax.ops.segment_sum(flat, map9, num_segments=m * m).reshape(m, m)
+    dmean = jnp.mean(jnp.abs(jnp.diag(A_c))) + tiny
+    A_c = A_c + (1e-8 * dmean) * jnp.eye(m, dtype=dtype)
+    A_inv = jnp.linalg.inv(A_c)
+
+    def apply(r):
+        rf = jnp.where(dirichlet, 0.0, r) * halo.owned_mask
+        rc = jnp.pad(rf, (0, pad)).reshape(m, block).sum(axis=1)
+        zc = ein("ij,j->i", A_inv, rc)
+        z_coarse = jnp.repeat(zc, block)[:n] * halo.owned_mask
+        z_coarse = halo.push(z_coarse)   # replication consistency
+        return jacobi(r) + jnp.where(dirichlet, 0.0, z_coarse)
+
+    return apply
+
+
 def make_preconditioner(name: str, J_c, mesh, dirichlet, a_diag,
                         coarse_block: int = 64):
     dtype = a_diag.dtype
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-    if name == "two_level" and mesh.paxis is None and mesh.halo is None:
+    if name == "two_level" and mesh.paxis is None:
+        if mesh.halo is not None:
+            # per-shard coarse only pays off with well-populated aggregates;
+            # tiny shards (toy tests) fall back to jacobi
+            if mesh.n_nodes >= 4 * coarse_block:
+                return make_local_two_level(J_c, mesh, dirichlet, a_diag,
+                                            coarse_block)
+            return make_jacobi(a_diag, dirichlet, tiny)
         return make_two_level(J_c, mesh, dirichlet, a_diag, coarse_block)
     return make_jacobi(a_diag, dirichlet, tiny)

