@@ -48,8 +48,19 @@ def main(argv=None):
                     help="resume from the checkpoint in the results directory")
     ap.add_argument("--dist", action="store_true",
                     help="node-sharded SPMD over all local jax devices")
+    ap.add_argument("--multihost", action="store_true",
+                    help="join a multi-host pod run via jax.distributed "
+                         "(JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                         "JAX_PROCESS_ID or Cloud TPU metadata); "
+                         "run one process per host")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.multihost:
+        from shakti_tpu.utils.multihost import init_multihost
+        nproc, pid, primary = init_multihost()
+        if not args.quiet:
+            print(f"multihost: process {pid}/{nproc}")
 
     setup = load_setup(args.setup)
     md = setup.initialize()

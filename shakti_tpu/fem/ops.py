@@ -29,7 +29,14 @@ import jax.numpy as jnp
 # load-bearing: on TPU, jnp.einsum's default precision routes through bf16
 # MXU passes, which destroys the Newton solve in float32 (observed: CG
 # returning garbage directions).  Pin everything to full-precision
-# accumulation; these shapes run on the VPU anyway, so this costs nothing.
+# accumulation.  `ein` is kept for GENUINE matmuls (the block-operator
+# matvecs, the coarse-PC apply); the tiny per-cell contractions below are
+# written as explicit broadcast-multiply-sum instead — einsum lowers them
+# to one TPU `convolution` kernel EACH, wrapped in transpose/pad/copy
+# kernels (inspected HLO, r2), and on the launch-bound tunnel those
+# kernels were most of the step's cost.  Plain f32 multiplies + sums are
+# exactly as accurate as a HIGHEST-precision dot and fuse into the
+# surrounding elementwise physics.
 ein = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
@@ -52,9 +59,9 @@ def cell_grad(mesh, f):
     fc = f[mesh.cells]                      # (c, 3, ...)
     if f.ndim == 1:
         fc = fc - jnp.mean(fc, axis=1, keepdims=True)
-        return ein("ci,cid->cd", fc, mesh.grads)
+        return jnp.sum(fc[:, :, None] * mesh.grads, axis=1)
     fc = fc - jnp.mean(fc, axis=1, keepdims=True)
-    return ein("cik,cid->ckd", fc, mesh.grads)
+    return jnp.sum(fc[:, :, :, None] * mesh.grads[:, :, None, :], axis=1)
 
 
 def scatter_add_cells(mesh, contrib):
@@ -113,5 +120,5 @@ def interpolate_at_quad(phi, fc):
     -> (c, nq) or (c, nq, k).
     """
     if fc.ndim == 2:
-        return ein("qi,ci->cq", phi, fc)
-    return ein("qi,cik->cqk", phi, fc)
+        return jnp.sum(phi[None, :, :] * fc[:, None, :], axis=2)
+    return jnp.sum(phi[None, :, :, None] * fc[:, None, :, :], axis=2)

@@ -57,7 +57,8 @@ def rectangle_mesh(nx: int, ny: int, lx: float, ly: float,
     return nodes, cells
 
 
-def polygon_mesh(outline: np.ndarray, resolution: float, *, margin: float = 0.45):
+def polygon_mesh(outline: np.ndarray, resolution: float, *, margin: float = 0.45,
+                 jitter: float = 0.0, seed: int = 0):
     """Triangulate the interior of a polygon at roughly uniform ``resolution``.
 
     Self-contained replacement for the reference's pygmsh polygon meshing
@@ -99,6 +100,11 @@ def polygon_mesh(outline: np.ndarray, resolution: float, *, margin: float = 0.45
         y += dy
         j += 1
     grid = np.concatenate(rows)
+    if jitter > 0.0:
+        # perturb the interior lattice (deterministic) so the Delaunay
+        # connectivity is genuinely unstructured, like a gmsh frontal mesh
+        rng = np.random.default_rng(seed)
+        grid = grid + jitter * resolution * rng.uniform(-1, 1, grid.shape)
     inside = points_in_polygon(grid, outline)
     # drop interior points too close to boundary nodes
     if bpts.size:

@@ -101,8 +101,9 @@ def precompute_step(mesh, N_n, b, q, melt_n, static, dt, params: PhysicalParams,
     Tq = law.transmissivity(b_q, Re_q, params)
 
     # cellwise gradients from the same gathered corner values
-    grads_sc = ein("cik,cid->ckd", sc - jnp.mean(sc, axis=1, keepdims=True),
-                   mesh.grads)                                       # (c, 5, 2)
+    sc_dev = sc - jnp.mean(sc, axis=1, keepdims=True)
+    grads_sc = jnp.sum(sc_dev[:, :, :, None] * mesh.grads[:, :, None, :],
+                       axis=1)                                       # (c, 5, 2)
     grad_b, grad_melt = grads_sc[:, 0], grads_sc[:, 1]
     mdiff_q = law.melt_regularization(
         b_q, melt_q, grad_b[:, None, :], grad_melt[:, None, :])
@@ -126,28 +127,39 @@ def corner_residual(N_c, pre: StepPre, mesh, params: PhysicalParams):
     Jacobian's element blocks are exactly d(corner_residual)/d(N_c).
     """
     p = params
+    # All contractions here are explicit broadcast-multiply-sums, NOT
+    # einsums: einsum lowers each to a TPU convolution kernel with
+    # transpose/copy traffic (see fem/ops.py note) — as plain f32
+    # arithmetic the whole element residual fuses into a handful of
+    # kernels, with identical-or-better accuracy.
     # mean-center before the gradient contraction (see fem/ops.cell_grad:
     # f32 cancellation control; exact since sum_i grad(phi_i) = 0)
     N_dev = N_c - jnp.mean(N_c, axis=1, keepdims=True)
-    grad_N = ein("ci,cid->cd", N_dev, mesh.grads)               # (c, 2)
+    grad_N = jnp.sum(N_dev[:, :, None] * mesh.grads, axis=1)    # (c, 2)
     grad_h = pre.gb0 - grad_N / (p.rho_w * p.g)                 # (c, 2)
 
     # water flux at quad points: q_w = -T grad(h), T frozen
     flux_q = -pre.Tq[:, :, None] * grad_h[:, None, :]           # (c, nq, 2)
 
     # melt rate: dissipation uses FROZEN q dotted with the unknown's grad(h)
-    qdgh = ein("cqd,cd->cq", pre.q_q, grad_h)
+    qdgh = jnp.sum(pre.q_q * grad_h[:, None, :], axis=-1)       # (c, nq)
     m_q = (pre.G_q - p.rho_w * p.g * qdgh) / p.Lh + pre.mdiff_q
 
-    N_q = ein("qi,ci->cq", pre.phi, N_c)
+    N_q = jnp.sum(pre.phi[None, :, :] * N_c[:, None, :], axis=2)  # (c, nq)
     C_q = law.closure(pre.b_q, N_q, p)
     c_m = 1.0 / p.rho_i - 1.0 / p.rho_w
     lake_q = pre.storage_q * (N_q - pre.Nn_q) / (p.rho_w * p.g * pre.dt)
     src_q = c_m * m_q - C_q - lake_q - pre.inputs_q
 
     w_cell = mesh.area * mesh.cell_valid                        # (c,)
-    term_flux = -ein("q,cqd,cid->ci", pre.wq, flux_q, mesh.grads)
-    term_src = ein("q,cq,qi->ci", pre.wq, src_q, pre.phi)
+    # term_flux_ci = -sum_q w_q flux_q[c,q,:] . grads[c,i,:]
+    term_flux = -jnp.sum(
+        pre.wq[None, :, None, None] * flux_q[:, :, None, :]
+        * mesh.grads[:, None, :, :], axis=(1, 3))               # (c, 3)
+    # term_src_ci = sum_q w_q src_q[c,q] phi[q,i]
+    term_src = jnp.sum(
+        (pre.wq[:, None] * pre.phi)[None, :, :] * src_q[:, :, None],
+        axis=1)                                                 # (c, 3)
     return w_cell[:, None] * (term_flux + term_src)
 
 
@@ -206,7 +218,7 @@ def make_matvec(J_c, mesh, dirichlet):
     def matvec(x):
         xf = jnp.where(dirichlet, 0.0, x)
         xc = xf[mesh.cells]                                     # (c, 3)
-        yc = ein("cij,cj->ci", J_c, xc)
+        yc = jnp.sum(J_c * xc[:, None, :], axis=2)
         y = -ops.scatter_add_cells(mesh, yc)
         return jnp.where(dirichlet, x, y)
     return matvec

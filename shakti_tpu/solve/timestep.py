@@ -141,7 +141,8 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
         st = jnp.stack([N, state.b, state.melt], axis=1)         # (n, 3)
         sc = ops.gather_cells(mesh, st)                          # (c, 3, 3)
         dev = sc - jnp.mean(sc, axis=1, keepdims=True)
-        g = ops.ein("cik,cid->ckd", dev, mesh.grads)             # (c, 3, 2)
+        g = jnp.sum(dev[:, :, :, None] * mesh.grads[:, :, None, :],
+                    axis=1)                                      # (c, 3, 2)
         grad_h_c = static.gb0 - g[:, 0] / (p.rho_w * p.g)        # (c, 2)
         grad_b_c, grad_m_c = g[:, 1], g[:, 2]
         b_cell, melt_cell = sc[:, :, 1], sc[:, :, 2]
@@ -168,10 +169,8 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
         # ---- 4. b update: forward Euler with NEW q and NEW melt in the
         #         regularization, OLD b elsewhere (reference b_expr, :162,192)
         melt_cell_new = ops.gather_cells(mesh, melt)             # (c, 3)
-        grad_m_new = ops.ein(
-            "ci,cid->cd",
-            melt_cell_new - jnp.mean(melt_cell_new, axis=1, keepdims=True),
-            mesh.grads)
+        m_dev = melt_cell_new - jnp.mean(melt_cell_new, axis=1, keepdims=True)
+        grad_m_new = jnp.sum(m_dev[:, :, None] * mesh.grads, axis=1)
         mdiff_new_ci = law.melt_regularization(
             b_cell, melt_cell_new, grad_b_c[:, None, :], grad_m_new[:, None, :])
         melt_for_b = m0 + ops.cellnodal_to_node_avg(mesh, mdiff_new_ci)
