@@ -69,9 +69,19 @@ def scatter_add_cells(mesh, contrib):
 
     contrib: (n_cells, 3) or (n_cells, 3, k) -> (n_nodes,) / (n_nodes, k).
     Padding cells carry zero contributions by construction (zero area).
+
+    When the mesh carries the node->(cell,corner) incidence map the
+    accumulation is a GATHER + masked sum over the (n, KI) incidence
+    layout instead of a segment_sum scatter — scatters serialize on TPU
+    and compile to custom-call kernels, gathers fuse (same trick as the
+    ELL/block-ELL operator matvecs).
     """
-    flat_idx = mesh.cells.reshape(-1)
     flat = contrib.reshape((-1,) + contrib.shape[2:])
+    if mesh.inc_map is not None and mesh.halo is None and mesh.paxis is None:
+        mask = mesh.inc_mask.reshape(mesh.inc_mask.shape
+                                     + (1,) * (flat.ndim - 1))
+        return jnp.sum(mask * flat[mesh.inc_map], axis=1)
+    flat_idx = mesh.cells.reshape(-1)
     out = jax.ops.segment_sum(flat, flat_idx, num_segments=mesh.n_nodes)
     if mesh.halo is not None:
         # node-sharded SPMD: complete assembly across partition boundaries

@@ -64,6 +64,12 @@ class Mesh:
     bcsr_off: Any = None        # (9 * n_cells,) int32 within-block offset
     bcsr_diag_blk: Any = None   # (n_nodes,) int32 diagonal block ids
     bcsr_diag_off: Any = None   # (n_nodes,) int32 diagonal offsets
+    # Optional node->(cell,corner) incidence map: gather-based (scatter-
+    # free) assembly and cell->node averaging (fem/ops.py).  inc_map holds
+    # flat indices into (n_cells*3,) corner arrays; invalid slots point at
+    # a real pair with zero inc_mask weight.
+    inc_map: Any = None         # (n_nodes, KI) int32
+    inc_mask: Any = None        # (n_nodes, KI) float 1/0
     bcsr_B: int | None = dataclasses.field(default=None,
                                            metadata=dict(static=True))
     bcsr_NB: int | None = dataclasses.field(default=None,
@@ -137,6 +143,24 @@ def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
     # guard isolated nodes (possible on padded partitions)
     node_area_safe = np.where(node_area == 0.0, 1.0, node_area)
 
+    # node->(cell,corner) incidence (gather-based assembly, fem/ops.py):
+    # CSR-style construction, padded ELL layout.  Padding cells (valid=0,
+    # all referencing node 0) are excluded so they cannot inflate KI.
+    n = nodes.shape[0]
+    real_cells = np.nonzero(valid > 0)[0]
+    flat_pos = (real_cells[:, None] * 3
+                + np.arange(3)[None, :]).reshape(-1).astype(np.int64)
+    flat_nodes = cells[real_cells].reshape(-1)
+    order = np.argsort(flat_nodes, kind="stable")
+    counts = np.bincount(flat_nodes, minlength=n)
+    KI = int(counts.max()) if counts.size else 0
+    inc_map_np = np.zeros((n, KI), dtype=np.int32)
+    inc_mask_np = np.zeros((n, KI))
+    rank = np.arange(flat_nodes.size) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    inc_map_np[flat_nodes[order], rank] = flat_pos[order].astype(np.int32)
+    inc_mask_np[flat_nodes[order], rank] = 1.0
+
     if not build_ell:
         operator = "none"
     ell_cols = ell_map = ell_diag_slot = None
@@ -179,6 +203,8 @@ def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
         grads=jnp.asarray(grads, dtype=dtype),
         node_area=jnp.asarray(node_area_safe, dtype=dtype),
         cell_valid=jnp.asarray(valid, dtype=dtype),
+        inc_map=jnp.asarray(inc_map_np),
+        inc_mask=jnp.asarray(inc_mask_np, dtype=dtype),
         ell_cols=ell_cols, ell_map=ell_map, ell_diag_slot=ell_diag_slot,
         bell_nbr=bell_nbr, bell_map=bell_map, bell_diag_pos=bell_diag_pos,
         bell_B=bell_B,
