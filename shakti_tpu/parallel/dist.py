@@ -36,13 +36,18 @@ def build_distributed(md, jmesh, axis: str = "x"):
     cells_np = np.asarray(mesh.cells)
     plan = H.build_halo(n, cells_np, Pn)
     # per-shard additive two-level preconditioner (precond.py
-    # make_local_two_level) when the user kept the two_level default; cap
-    # the local dense coarse problem ~1k dofs.  The lagged-operator carry
-    # is not supported on the halo path (per-shard operator rebuilds are
-    # cheap relative to the all_to_all traffic anyway).
+    # make_local_two_level) when the user kept the two_level default.
+    # coarse_block == 64 is the 'auto' sentinel (api/model.freeze):
+    # size the LOCAL aggregates so each shard's dense coarse problem has
+    # a few hundred to ~1k dofs — at small L the global default of 64
+    # leaves too few aggregates per shard to matter.  The lagged-operator
+    # carry is not supported on the halo path (per-shard operator rebuilds
+    # are cheap relative to the all_to_all traffic anyway).
     blk = cfg.coarse_block
-    while plan["L"] // blk > 1024:
-        blk *= 2
+    if blk == 64:
+        blk = 8
+        while plan["L"] // blk > 1024:
+            blk *= 2
     cfg = dataclasses.replace(cfg, coarse_block=blk, lag_operator=False)
     dtype = np.asarray(mesh.area).dtype
 
