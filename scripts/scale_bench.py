@@ -20,7 +20,8 @@ ensure_backend()
 import numpy as np  # noqa: E402
 
 
-def main(nx: int = 1000, steps: int = 12, op: str = "auto"):
+def main(nx: int = 1000, steps: int = 12, op: str = "auto",
+         lag: str = "0"):
     import jax
     import jax.numpy as jnp
 
@@ -39,9 +40,12 @@ def main(nx: int = 1000, steps: int = 12, op: str = "auto"):
     nodes, cells = rectangle_mesh(nx, nx, nx * h, nx * h, jitter=0.25, seed=0)
     md = ModelSetup(nodes, cells)
     # lean solver config: skip the dt-halving retry branch (compile cost at
-    # scale; steady-state throughput is unaffected either way)
+    # scale; steady-state throughput is unaffected either way).  lag='1'
+    # carries the folded operator + coarse inverse across steps — at 1M dof
+    # this trades ~2x operator-values HBM for skipping the fold/PC build
+    # on reuse steps.
     from shakti_tpu.solve.newton import NewtonConfig
-    md.solver = NewtonConfig()
+    md.solver = NewtonConfig(lag_operator=(str(lag) == "1"))
     md.z_b = 0.002 * md.x - 100.0
     md.z_s = md.z_b + 1200.0 + 0.001 * (md.x - nx * h / 2)
     md.G = np.full(md.x.size, 0.06)
@@ -80,6 +84,7 @@ def main(nx: int = 1000, steps: int = 12, op: str = "auto"):
         "converged": bool(np.asarray(diag["converged"]).all()),
         "newton_mean": round(float(np.asarray(diag["newton_iters"]).mean()), 2),
         "cg_mean": round(float(np.asarray(diag["cg_iters"]).mean()), 1),
+        "lag_operator": md.solver.lag_operator,
     }
     print(json.dumps(out))
     return 0
