@@ -123,7 +123,7 @@ def main():
     }
     print(json.dumps(result))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       f"dist_scale_{int(n_target/1e6)}M.json")
+                       f"dist_scale_{round(n_target / 1e6)}M.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     return 0 if conv else 1

@@ -45,7 +45,6 @@ __all__ = [
 _D8 = np.array([(-1, -1), (-1, 0), (-1, 1),
                 (0, -1), (0, 1),
                 (1, -1), (1, 0), (1, 1)], dtype=np.int64)
-_D8_DIST = np.hypot(_D8[:, 0], _D8[:, 1])
 
 
 def background_potential(z_s, z_b, rho_i=917.0, rho_w=1000.0, g=9.81,

@@ -146,20 +146,27 @@ def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
     # node->(cell,corner) incidence (gather-based assembly, fem/ops.py):
     # CSR-style construction, padded ELL layout.  Padding cells (valid=0,
     # all referencing node 0) are excluded so they cannot inflate KI.
+    # Only built for small/medium meshes: it is a kernel-count optimization
+    # for the launch-bound regime, and at 1M+ nodes its ~80 MB of extra
+    # closure constants pushed the remote compile over the tunnel's
+    # request-size cap (HTTP 413) — the segment_sum path serves there.
+    build_inc = nodes.shape[0] <= 200_000
     n = nodes.shape[0]
-    real_cells = np.nonzero(valid > 0)[0]
-    flat_pos = (real_cells[:, None] * 3
-                + np.arange(3)[None, :]).reshape(-1).astype(np.int64)
-    flat_nodes = cells[real_cells].reshape(-1)
-    order = np.argsort(flat_nodes, kind="stable")
-    counts = np.bincount(flat_nodes, minlength=n)
-    KI = int(counts.max()) if counts.size else 0
-    inc_map_np = np.zeros((n, KI), dtype=np.int32)
-    inc_mask_np = np.zeros((n, KI))
-    rank = np.arange(flat_nodes.size) - np.repeat(
-        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
-    inc_map_np[flat_nodes[order], rank] = flat_pos[order].astype(np.int32)
-    inc_mask_np[flat_nodes[order], rank] = 1.0
+    inc_map_np = inc_mask_np = None
+    if build_inc:
+        real_cells = np.nonzero(valid > 0)[0]
+        flat_pos = (real_cells[:, None] * 3
+                    + np.arange(3)[None, :]).reshape(-1).astype(np.int64)
+        flat_nodes = cells[real_cells].reshape(-1)
+        order = np.argsort(flat_nodes, kind="stable")
+        counts = np.bincount(flat_nodes, minlength=n)
+        KI = int(counts.max()) if counts.size else 0
+        inc_map_np = np.zeros((n, KI), dtype=np.int32)
+        inc_mask_np = np.zeros((n, KI))
+        rank = np.arange(flat_nodes.size) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        inc_map_np[flat_nodes[order], rank] = flat_pos[order].astype(np.int32)
+        inc_mask_np[flat_nodes[order], rank] = 1.0
 
     if not build_ell:
         operator = "none"
@@ -203,8 +210,9 @@ def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
         grads=jnp.asarray(grads, dtype=dtype),
         node_area=jnp.asarray(node_area_safe, dtype=dtype),
         cell_valid=jnp.asarray(valid, dtype=dtype),
-        inc_map=jnp.asarray(inc_map_np),
-        inc_mask=jnp.asarray(inc_mask_np, dtype=dtype),
+        inc_map=None if inc_map_np is None else jnp.asarray(inc_map_np),
+        inc_mask=None if inc_mask_np is None
+        else jnp.asarray(inc_mask_np, dtype=dtype),
         ell_cols=ell_cols, ell_map=ell_map, ell_diag_slot=ell_diag_slot,
         bell_nbr=bell_nbr, bell_map=bell_map, bell_diag_pos=bell_diag_pos,
         bell_B=bell_B,

@@ -195,8 +195,20 @@ def test_distributed_local_two_level_preconditioner():
 
     from shakti_tpu.parallel.dist import gather_state, make_distributed_runner
 
-    def run(precond):
+    def build():
         md = slab.initialize(nx=48, ny=48, days=0.5, nt_per_day=4)
+        # smooth initial gap: the default noisy cold start has b~0 nodes
+        # whose N is locally solver-dependent (the degenerate limit,
+        # VALIDATION.md) — ill-posed for cross-solver equality assertions.
+        # dt-halving must be OFF for the same reason: if one solver's step
+        # lands at the convergence edge and retries as two half-steps, the
+        # trajectories differ at O(dt) — legitimately, but not comparably.
+        md.b_init = np.full(md.x.size, 0.01)
+        md.solver = dataclasses.replace(md.solver, adaptive_dt_levels=0)
+        return md
+
+    def run(precond):
+        md = build()
         md.solver = dataclasses.replace(md.solver, precond=precond)
         md.distributed = True
         runner, state, plan = make_distributed_runner(md)
@@ -204,24 +216,27 @@ def test_distributed_local_two_level_preconditioner():
         dts = timestep_sizes(md.timesteps, dtype=md.dtype)[:2]
         s, d = runner(state, dts)
         assert bool(np.asarray(d["converged"]).all()), precond
-        return md, gather_state(plan, s), int(np.asarray(d["cg_iters"]).sum())
+        # gather_state returns SOLVER-order (RCB) arrays; map back to the
+        # setup's user node order for cross-path comparisons
+        g = gather_state(plan, s)
+        N_user = np.asarray(g.N)[md.node_iperm]
+        return md, N_user, int(np.asarray(d["cg_iters"]).sum())
 
-    md, s_tl, cg_tl = run("two_level")
-    _, s_j, cg_j = run("jacobi")
+    md, N_tl, cg_tl = run("two_level")
+    _, N_j, cg_j = run("jacobi")
     # same solution either way
-    np.testing.assert_allclose(np.asarray(s_tl.N), np.asarray(s_j.N),
-                               rtol=1e-7)
+    np.testing.assert_allclose(N_tl, N_j, rtol=1e-7)
     # the coarse level must never cost Krylov iterations
     assert cg_tl <= 1.05 * cg_j, (cg_tl, cg_j)
 
     # matches the single-device two_level path
-    md1 = slab.initialize(nx=48, ny=48, days=0.5, nt_per_day=4)
+    md1 = build()
     mesh, static, state1, cfg1 = md1.freeze()
     step = make_step_fn(mesh, static, md1.params, cfg1)
     dts = timestep_sizes(md1.timesteps, dtype=md1.dtype)[:2]
     s1, d1 = jax.jit(lambda a, b: run_window(step, a, b))(state1, dts)
-    np.testing.assert_allclose(np.asarray(s_tl.N), np.asarray(s1.N),
-                               rtol=1e-8)
+    N1_user = md1.to_user_order(np.asarray(s1.N))
+    np.testing.assert_allclose(N_tl, N1_user, rtol=1e-8)
 
 
 def test_distributed_per_device_memory_scales():
