@@ -94,6 +94,11 @@ class NewtonConfig:
     # element->row fold, and the coarse-inverse build drop out of the
     # per-step cost entirely.  Requires a foldable operator format
     # (bell/bcsr/ell); the caller must seed State.lag_op (api/model.freeze).
+    # Scale caveat: the carry and a freshly-built operator are live at the
+    # same time inside the rebuild branch, so peak HBM grows by one
+    # operator-values array — measured OOM at 1M dof on a 16 GB v5e chip
+    # (BCSR values ~GB); use for the bell regime (<= ~200k nodes) or on
+    # larger-HBM parts.
     lag_operator: bool = False
     # Carry age cap: when every step converges in the single reused
     # iteration, the carry would otherwise NEVER refresh (measured: the
