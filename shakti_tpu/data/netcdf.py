@@ -40,9 +40,10 @@ def _read_vars(path: str, var: str, xvar: str, yvar: str):
         return _read_vars_h5(path, var, xvar, yvar)
     ds = Dataset(path)
     try:
-        f = np.asarray(ds[var][:]).astype(np.float64)
-        if hasattr(ds[var][:], "filled"):
-            f = ds[var][:].filled().astype(np.float64)
+        raw = ds[var][:]
+        # masked cells -> NaN (matching the h5py fallback's semantics)
+        f = (raw.filled(np.nan) if hasattr(raw, "filled")
+             else np.asarray(raw)).astype(np.float64)
         x = np.asarray(ds[xvar][:]).astype(np.float64)
         y = np.asarray(ds[yvar][:]).astype(np.float64)
     finally:
@@ -51,15 +52,32 @@ def _read_vars(path: str, var: str, xvar: str, yvar: str):
 
 
 def _read_vars_h5(path: str, var: str, xvar: str, yvar: str):
-    """netCDF-4 (= HDF5) fallback reader.  Applies _FillValue masking the
-    way netCDF4's masked arrays would (filled with the fill value, i.e. the
-    raw stored numbers — the reference uses .data, setup_cooke2.py:40)."""
+    """netCDF-4 (= HDF5) fallback reader.
+
+    Applies CF packing the way netCDF4's auto-maskandscale would:
+    raw * scale_factor + add_offset, with _FillValue/missing_value cells
+    set to NaN BEFORE unpacking (Antarctic gridded products commonly store
+    packed int16 — returning raw packed integers would silently build a
+    garbage model)."""
     import h5py  # optional dependency
 
+    def unpack(ds):
+        raw = np.asarray(ds[()], dtype=np.float64)
+        fill = ds.attrs.get("_FillValue", ds.attrs.get("missing_value"))
+        if fill is not None:
+            raw = np.where(raw == np.float64(np.ravel(fill)[0]), np.nan, raw)
+        scale = ds.attrs.get("scale_factor")
+        offset = ds.attrs.get("add_offset")
+        if scale is not None:
+            raw = raw * np.float64(np.ravel(scale)[0])
+        if offset is not None:
+            raw = raw + np.float64(np.ravel(offset)[0])
+        return raw
+
     with h5py.File(path, "r") as h5:
-        f = np.asarray(h5[var][()], dtype=np.float64)
-        x = np.asarray(h5[xvar][()], dtype=np.float64).reshape(-1)
-        y = np.asarray(h5[yvar][()], dtype=np.float64).reshape(-1)
+        f = unpack(h5[var])
+        x = unpack(h5[xvar]).reshape(-1)
+        y = unpack(h5[yvar]).reshape(-1)
     return x, y, f
 
 

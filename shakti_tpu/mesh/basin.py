@@ -12,9 +12,9 @@ Here the whole chain is automated and dependency-free:
     (the reference's cell-8 normalization throws away all but 8 bits of
     relief before routing flow; a ``quantize=255`` knob reproduces it for
     comparison).
-  * :func:`fill_sinks`            — priority-flood depression filling
-    (Barnes et al. 2014) with strict-ascent epsilon so every cell has a
-    monotone descending path to the grid border.
+  * :func:`fill_sinks`            — vectorized epsilon depression filling
+    (morphological reconstruction by erosion) so every cell has a
+    strictly descending path to the grid border.
   * :func:`d8_flow`               — steepest-descent D8 flow directions.
   * :func:`flow_accumulation`     — upslope cell counts (topological sweep);
     the analogue of topotoolbox StreamObject's accumulation threshold
@@ -30,8 +30,6 @@ Here the whole chain is automated and dependency-free:
 """
 
 from __future__ import annotations
-
-import heapq
 
 import numpy as np
 
@@ -63,39 +61,51 @@ def background_potential(z_s, z_b, rho_i=917.0, rho_w=1000.0, g=9.81,
     return phi
 
 
-def fill_sinks(z):
-    """Priority-flood depression filling with strict ascent.
+def fill_sinks(z, max_iter: int = None):
+    """Depression filling with strict ascent (epsilon fill).
 
     Returns a float64 grid >= z in which every cell has a strictly
     descending 8-connected path to the grid border (flats and closed
-    depressions are raised by the minimal nextafter increments).  This is
-    what makes D8 directions well-defined everywhere — the role
-    topotoolbox's internal sink filling plays for the reference.
+    depressions are raised by tiny epsilon gradients toward their spill
+    point).  This is what makes D8 directions well-defined everywhere —
+    the role topotoolbox's internal sink filling plays for the reference.
+
+    Implementation: iterative morphological reconstruction-by-erosion,
+    F <- max(z, min-8-neighbor(F) + eps), seeded at +inf in the interior
+    and z on the border.  Fully vectorized (scipy minimum_filter per
+    sweep); iteration count is bounded by the longest border-to-cell flow
+    path, not grid size — the pure-Python priority-flood this replaces
+    spent minutes on a 1000^2 grid.
     """
+    from scipy import ndimage
+
     z = np.asarray(z, np.float64)
-    ny, nx = z.shape
-    filled = z.copy()
-    closed = np.zeros(z.shape, dtype=bool)
-    heap = []
-    # seed the flood from all border cells
-    for j in range(nx):
-        for i in (0, ny - 1):
-            heapq.heappush(heap, (filled[i, j], i, j))
-            closed[i, j] = True
-    for i in range(1, ny - 1):
-        for j in (0, nx - 1):
-            heapq.heappush(heap, (filled[i, j], i, j))
-            closed[i, j] = True
-    while heap:
-        v, i, j = heapq.heappop(heap)
-        for di, dj in _D8:
-            ii, jj = i + di, j + dj
-            if 0 <= ii < ny and 0 <= jj < nx and not closed[ii, jj]:
-                closed[ii, jj] = True
-                if filled[ii, jj] <= v:
-                    filled[ii, jj] = np.nextafter(v, np.inf)
-                heapq.heappush(heap, (filled[ii, jj], ii, jj))
-    return filled
+    if z.size == 0:
+        return z.copy()
+    eps = max(float(z.max() - z.min()), 1.0) * 1e-8
+    # 8-neighborhood EXCLUDING the center: the fixpoint
+    #   F = max(z, min_nbr(F) + eps)   (border pinned to z)
+    # guarantees every interior cell a strictly lower neighbor: either
+    # F = mn + eps > mn, or F = z >= mn + eps > mn.
+    foot = np.ones((3, 3), dtype=bool)
+    foot[1, 1] = False
+
+    def pin_border(a):
+        a[0, :] = z[0, :]
+        a[-1, :] = z[-1, :]
+        a[:, 0] = z[:, 0]
+        a[:, -1] = z[:, -1]
+        return a
+
+    F = pin_border(np.full_like(z, np.inf))
+    cap = max_iter or 4 * (z.shape[0] + z.shape[1])
+    for _ in range(cap):
+        mn = ndimage.minimum_filter(F, footprint=foot, mode="nearest")
+        Fn = pin_border(np.maximum(z, mn + eps))
+        if np.array_equal(Fn, F):
+            break
+        F = Fn
+    return F
 
 
 def d8_flow(filled, dx=1.0, dy=1.0):

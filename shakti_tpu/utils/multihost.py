@@ -44,15 +44,23 @@ def init_multihost():
     import jax
 
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    nproc = os.environ.get("JAX_NUM_PROCESSES")
     on_cloud_tpu = os.path.exists("/dev/accel0") or bool(
         os.environ.get("TPU_WORKER_HOSTNAMES"))
-    if coord or (on_cloud_tpu and nproc):
+    if coord or on_cloud_tpu:
+        # Cloud TPU pods discover coordinator/process-id from the metadata
+        # server with NO env vars set — that is the standard launch, so the
+        # gate must not require JAX_NUM_PROCESSES.  A single-host TPU VM
+        # (or a host with stale TPU_* vars) may fail discovery; degrade to
+        # the single-process view rather than crashing the launcher.
         try:
             jax.distributed.initialize()  # env/metadata-driven
         except RuntimeError as e:
             if "already initialized" not in str(e).lower():
-                raise
+                import warnings
+                warnings.warn(
+                    f"jax.distributed.initialize() failed ({e}); "
+                    "continuing single-process")
+                return 1, 0, True
         return (jax.process_count(), jax.process_index(),
                 jax.process_index() == 0)
     return 1, 0, True
