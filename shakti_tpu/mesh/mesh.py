@@ -78,6 +78,14 @@ class Mesh:
     # device's owned+ghost view; assembly completes via halo.accumulate and
     # reductions via halo.dot/norm.
     halo: Any = None
+    # Global coarse-aggregate ids per local slot (halo meshes only): each
+    # slot's GLOBAL solver-order node id // block, localized through the
+    # halo plan — lets the distributed two-level preconditioner assemble
+    # one psum'd global Galerkin coarse operator instead of per-shard
+    # block-diagonal ones (precond.make_global_two_level).
+    coarse_agg: Any = None          # (L,) int32
+    coarse_m: int | None = dataclasses.field(default=None,
+                                             metadata=dict(static=True))
 
     @property
     def n_nodes(self) -> int:

@@ -53,6 +53,14 @@ def build_distributed(md, jmesh, axis: str = "x"):
         while plan["L"] // blk > 1024:
             blk *= 2
     cfg = dataclasses.replace(cfg, coarse_block=blk, lag_operator=False)
+    # global coarse aggregates (precond.make_global_two_level): GLOBAL
+    # solver-order node id // gblk, localized per shard; one psum'd
+    # Galerkin coarse operator replaces the per-shard block-diagonal ones
+    gblk = 8
+    while n // gblk > 1024:
+        gblk *= 2
+    coarse_m = -(-n // gblk)
+    agg_global = (np.arange(n, dtype=np.int64) // gblk).astype(np.int32)
     dtype = np.asarray(mesh.area).dtype
 
     cell_ids = plan["cell_ids"]                       # (P, cmax)
@@ -105,6 +113,7 @@ def build_distributed(md, jmesh, axis: str = "x"):
         "ell_cols": ell_cols.reshape(-1, K),
         "ell_map": ell_map.reshape(-1),
         "ell_diag": ell_diag.reshape(-1),
+        "coarse_agg": loc(agg_global).reshape(-1).astype(np.int32),
         # halo plan, (P*P, H) / (P*L,)
         "send_idx": plan["send_idx"].reshape(-1, plan["send_idx"].shape[-1]),
         "send_valid": plan["send_valid"].reshape(-1, plan["send_valid"].shape[-1]),
@@ -114,6 +123,7 @@ def build_distributed(md, jmesh, axis: str = "x"):
         "N_bdry": np.asarray(static.N_bdry),
         "b_min": np.asarray(static.b_min),
     }
+    plan["coarse_m"] = coarse_m
     return payload, plan, cfg
 
 
@@ -132,9 +142,11 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x"):
     halo_keys = ("send_idx", "send_valid", "recv_slot", "owned_mask")
     scalar_keys = ("N_bdry", "b_min")
 
+    coarse_m = plan["coarse_m"]
+
     def body(cells, area, grads, valid, gb0,
              nodes, node_area, z_b, z_s, G, inputs, storage, dirichlet,
-             ell_cols_l, ell_map_l, ell_diag_l,
+             ell_cols_l, ell_map_l, ell_diag_l, coarse_agg_l,
              send_idx, send_valid, recv_slot, owned_mask,
              N_bdry, b_min, state, dts):
         halo = H.Halo(send_idx=send_idx, send_valid=send_valid,
@@ -142,7 +154,8 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x"):
         lmesh = Mesh(nodes=nodes, cells=cells, area=area, grads=grads,
                      node_area=node_area, cell_valid=valid, halo=halo,
                      ell_cols=ell_cols_l, ell_map=ell_map_l,
-                     ell_diag_slot=ell_diag_l)
+                     ell_diag_slot=ell_diag_l,
+                     coarse_agg=coarse_agg_l, coarse_m=coarse_m)
         lstatic = StaticFields(z_b=z_b, z_s=z_s, G=G, inputs=inputs,
                                storage=storage, gb0=gb0,
                                dirichlet=dirichlet.astype(bool),
@@ -152,7 +165,7 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x"):
 
     sharded = shard_map(
         body, mesh=jmesh,
-        in_specs=(pl,) * 5 + (pl,) * 8 + (pl,) * 3 + (pl,) * 4
+        in_specs=(pl,) * 5 + (pl,) * 8 + (pl,) * 4 + (pl,) * 4
                  + (rep, rep, pl, rep),
         out_specs=(pl, rep),
     )
@@ -170,7 +183,8 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x"):
                ar("storage", dtype), ar("dirichlet", dtype)]
             + [jnp.asarray(payload["ell_cols"]),
                jnp.asarray(payload["ell_map"]),
-               jnp.asarray(payload["ell_diag"])]
+               jnp.asarray(payload["ell_diag"]),
+               jnp.asarray(payload["coarse_agg"])]
             + [jnp.asarray(payload["send_idx"]),
                jnp.asarray(payload["send_valid"]),
                jnp.asarray(payload["recv_slot"]), ar("owned_mask", dtype)]

@@ -134,12 +134,56 @@ def make_local_two_level(J_c, mesh, dirichlet, a_diag, block: int = 64):
     return apply
 
 
+def make_global_two_level(J_c, mesh, dirichlet, a_diag):
+    """GLOBAL additive two-level for node-sharded SPMD (mesh.halo set,
+    mesh.coarse_agg carrying global aggregate ids).
+
+    Each shard assembles its own cells' contributions to the one global
+    Galerkin coarse operator (cells are partitioned disjointly, so a psum
+    completes the assembly exactly); the dense inverse is replicated.  The
+    per-Krylov apply is one owned-masked restriction + an m-vector psum +
+    a small matmul — and the prolonged correction is replication-
+    consistent by construction (same global zc everywhere), needing no
+    ghost push.  Strictly stronger than the per-shard block-diagonal
+    coarse (make_local_two_level): cross-shard smooth error modes are in
+    its range."""
+    halo = mesh.halo
+    agg = mesh.coarse_agg                       # (L,) int32 global agg ids
+    m = mesh.coarse_m
+    dtype = a_diag.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    jacobi = make_jacobi(a_diag, dirichlet, tiny)
+
+    free = (~dirichlet).astype(dtype)
+    wc = free[mesh.cells]                                    # (c, 3)
+    w9 = wc[:, :, None] * wc[:, None, :]                     # (c, 3, 3)
+    a3 = agg[mesh.cells]                                     # (c, 3)
+    map9 = (a3[:, :, None] * m + a3[:, None, :]).reshape(-1)
+    flat = (-J_c * w9).reshape(-1)
+    A_c = jax.ops.segment_sum(flat, map9, num_segments=m * m)
+    A_c = jax.lax.psum(A_c, halo.axis).reshape(m, m)
+    dmean = jnp.mean(jnp.abs(jnp.diag(A_c))) + tiny
+    A_c = A_c + (1e-8 * dmean) * jnp.eye(m, dtype=dtype)
+    A_inv = jnp.linalg.inv(A_c)
+
+    def apply(r):
+        rf = jnp.where(dirichlet, 0.0, r) * halo.owned_mask
+        rc = jax.ops.segment_sum(rf, agg, num_segments=m)
+        rc = jax.lax.psum(rc, halo.axis)
+        zc = ein("ij,j->i", A_inv, rc)
+        return jacobi(r) + jnp.where(dirichlet, 0.0, zc[agg])
+
+    return apply
+
+
 def make_preconditioner(name: str, J_c, mesh, dirichlet, a_diag,
                         coarse_block: int = 64):
     dtype = a_diag.dtype
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     if name == "two_level" and mesh.paxis is None:
         if mesh.halo is not None:
+            if mesh.coarse_agg is not None:
+                return make_global_two_level(J_c, mesh, dirichlet, a_diag)
             # per-shard coarse only pays off with well-populated aggregates;
             # tiny shards (toy tests) fall back to jacobi
             if mesh.n_nodes >= 4 * coarse_block:

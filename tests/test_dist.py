@@ -181,16 +181,16 @@ def test_distributed_with_seasonal_forcing(tmp_path):
                                rtol=1e-8)
 
 
-def test_distributed_local_two_level_preconditioner():
-    """The per-shard additive two-level PC (precond.make_local_two_level)
-    must agree with the single-device and jacobi solves and never cost
-    iterations.  Measured effect (Cook_E2-like configuration, 8 shards):
-    a consistent 20-35% CG reduction vs jacobi — modest because the
-    dominant early-run error modes are LOCAL (transmissivity contrast),
-    which a coarse space cannot address; the slab case shows ~none, which
-    is why this asserts correctness + no-harm rather than a speedup
-    factor (the 10M artifact, scripts/dist_scale.py, records the
-    at-scale behavior)."""
+def test_distributed_two_level_preconditioner():
+    """The distributed two-level PC (precond.make_global_two_level: one
+    psum'd global Galerkin coarse, dense inverse replicated) must agree
+    with the single-device and jacobi solves and never cost iterations.
+    Measured effect (Cook_E2-like configuration, 8 shards): 42% CG
+    reduction vs jacobi (1007 vs 1733 over 4 cold-start steps, ~2x on the
+    later steps); the slab case shows ~none because its early error modes
+    are LOCAL (transmissivity contrast), which is why this asserts
+    correctness + no-harm rather than a speedup factor (the 10M artifact,
+    scripts/dist_scale.py, records the at-scale behavior)."""
     import dataclasses
 
     from shakti_tpu.parallel.dist import gather_state, make_distributed_runner
@@ -247,7 +247,13 @@ def test_distributed_per_device_memory_scales():
     md_args = dict(nx=64, ny=64, days=1.0, nt_per_day=4)
 
     def temp_bytes(n_dev):
+        import dataclasses
         md = slab.initialize(**md_args)
+        # jacobi isolates the sharding contract: the two-level PC carries
+        # a REPLICATED global coarse inverse (m x m) that doesn't shrink
+        # with P — negligible at production scale (2.4 MB vs 1.9 GB/device
+        # at 10M dof) but dominant at this toy size
+        md.solver = dataclasses.replace(md.solver, precond="jacobi")
         md.distributed = True
         jmesh = make_device_mesh(n_dev)
         runner, state, plan = make_distributed_runner(md, jmesh)
