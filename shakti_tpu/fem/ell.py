@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from shakti_tpu.fem.ops import ein
+
 
 
 def build_ell_map(cells: np.ndarray, n_nodes: int):

@@ -13,7 +13,7 @@ fallback for strongly convective regimes.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ dirichletbc/apply-lifting behavior after its first iteration.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
