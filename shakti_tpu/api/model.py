@@ -94,8 +94,10 @@ class ModelSetup:
         # rough-b cold start (unclamped noisy b_init, setup_cooke2.py:66,
         # ~46% of nodes start with b<0) at zero steady-state runtime cost;
         # the price is a ~2x larger compiled step (the retry branch traces
-        # two half-dt sub-steps).  Large-scale runs that would rather fail
-        # fast can set md.solver = NewtonConfig() explicitly.
+        # two half-dt sub-steps).  lag_operator stays None = auto (resolved
+        # at freeze: on for block-ELL/TPU meshes).  Large-scale runs that
+        # would rather fail fast can set md.solver = NewtonConfig()
+        # explicitly.
         self.solver = NewtonConfig(adaptive_dt_levels=1)
         # operator format: 'auto' = block-ELL (MXU SpMV) on TPU with RCB
         # node reordering, scalar ELL elsewhere; or 'ell' / 'bell' / 'cells'
@@ -248,13 +250,19 @@ class ModelSetup:
             while n // blk > 1536:
                 blk *= 2
             cfg = _dc.replace(cfg, coarse_block=blk)
+        if cfg.lag_operator is None:
+            # auto: carry the operator exactly in the block-ELL regime
+            # (single-chip TPU path; HBM-safe at <= 200k nodes and the
+            # measured 21% step-time win) — see NewtonConfig.lag_operator
+            import dataclasses as _dc2
+            cfg = _dc2.replace(cfg, lag_operator=(op == "bell"))
         if cfg.lag_operator:
             # seed the carried-operator slot (invalid until step 1 builds
             # it) — AFTER the coarse_block adjustment so A_inv's shape
             # matches what the Newton loop will build
-            import dataclasses as _dc2
+            import dataclasses as _dc3
             from shakti_tpu.solve.newton import zero_lag
-            state0 = _dc2.replace(state0,
+            state0 = _dc3.replace(state0,
                                   lag_op=zero_lag(mesh, self.dtype, cfg))
         return mesh, static, state0, cfg
 

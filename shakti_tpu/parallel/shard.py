@@ -88,6 +88,10 @@ def make_parallel_step_fn(mesh: Mesh, static, params, cfg,
     Drop-in replacement for solve/timestep.make_step_fn: same signature,
     same results (up to reduction order), executed SPMD.
     """
+    # the per-shard cell meshes have no foldable operator structure, so the
+    # lagged-operator carry cannot apply here (freeze may have auto-enabled
+    # it for the global bell mesh)
+    cfg = dataclasses.replace(cfg, lag_operator=False)
     cell_arrays, _ = shard_cell_data(mesh, static.gb0, jmesh, axis)
     # gb0 travels sharded; blank it in the replicated static payload
     static_slim = dataclasses.replace(

@@ -98,8 +98,10 @@ class NewtonConfig:
     # same time inside the rebuild branch, so peak HBM grows by one
     # operator-values array — measured OOM at 1M dof on a 16 GB v5e chip
     # (BCSR values ~GB); use for the bell regime (<= ~200k nodes) or on
-    # larger-HBM parts.
-    lag_operator: bool = False
+    # larger-HBM parts.  None = auto: api/model.freeze resolves it to True
+    # exactly for block-ELL meshes (the single-chip TPU regime, where the
+    # measured same-session win is 21%) and False elsewhere.
+    lag_operator: bool | None = None
     # Carry age cap: when every step converges in the single reused
     # iteration, the carry would otherwise NEVER refresh (measured: the
     # step-1 cold-start operator reused 300 steps later turned 3.8 CG

@@ -124,3 +124,29 @@ def test_lagged_operator_matches_plain_newton():
                                np.asarray(out[False].N), rtol=1e-7)
     np.testing.assert_allclose(np.asarray(out[True].b),
                                np.asarray(out[False].b), rtol=1e-7)
+
+
+def test_lag_operator_auto_resolution():
+    """NewtonConfig.lag_operator=None resolves at freeze: True exactly for
+    block-ELL meshes (the TPU bell regime), False elsewhere; explicit
+    settings pass through untouched."""
+    import dataclasses
+
+    md = slab.initialize(nx=8, ny=8, days=1.0, nt_per_day=4)
+    assert md.solver.lag_operator is None
+    md.operator = "bell"
+    mesh, static, state, cfg = md.freeze()
+    assert cfg.lag_operator is True
+    assert state.lag_op is not None
+
+    md2 = slab.initialize(nx=8, ny=8, days=1.0, nt_per_day=4)
+    md2.operator = "ell"
+    _, _, state2, cfg2 = md2.freeze()
+    assert cfg2.lag_operator is False
+    assert state2.lag_op is None
+
+    md3 = slab.initialize(nx=8, ny=8, days=1.0, nt_per_day=4)
+    md3.operator = "bell"
+    md3.solver = dataclasses.replace(md3.solver, lag_operator=False)
+    _, _, _, cfg3 = md3.freeze()
+    assert cfg3.lag_operator is False
