@@ -14,6 +14,8 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main(outdir="results/example_lake"):
     import setups.setup_lake as setup_lake
