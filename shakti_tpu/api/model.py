@@ -240,7 +240,7 @@ class ModelSetup:
                        q=f(self.q_init), melt=f(self.melt_init),
                        N_prev=f(self.N_init))
         cfg = self.solver.for_dtype(self.dtype)
-        if cfg.coarse_block == 64:  # the 'auto' default
+        if cfg.coarse_block is None:  # the 'auto' default
             # auto coarse-aggregate size: cap the dense coarse problem at
             # ~1.5k dofs (its inverse is rebuilt every Newton iteration);
             # on the block operator start from the 128-wide blocks so the

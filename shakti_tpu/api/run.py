@@ -95,7 +95,10 @@ def solve(md, *, resume: bool = False, progress: bool = True):
             shutil.copy(str(md.setup_file),
                         os.path.join(rdir, os.path.basename(str(md.setup_file))))
 
-    hist = {k: np.zeros((n_saves, n_nodes)) for k in ("N", "b", "qx", "qy")}
+    # history rows carry the marching dtype (f32 on TPU): widening to f64
+    # would add no information and double the rolling-checkpoint IO volume
+    hist = {k: np.zeros((n_saves, n_nodes), dtype=np.dtype(md.dtype))
+            for k in ("N", "b", "qx", "qy")}
     log_rows = []
     if io_on and start_step > 0:
         for k in hist:
@@ -124,6 +127,7 @@ def solve(md, *, resume: bool = False, progress: bool = True):
 
     # distributed (node-sharded SPMD) execution through the same protocol:
     # set md.distributed = True (or CLI --dist) with >1 jax device
+    import dataclasses as _dc
     if dist_on:
         from shakti_tpu.parallel import halo as _H
         from shakti_tpu.parallel.dist import (gather_state,
@@ -132,25 +136,47 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         if start_step == 0:
             state = dist_state0
         else:
-            # localize the checkpointed (global solver-order) state
+            # localize the checkpointed (global solver-order) state; any
+            # carried operator belongs to the single-device formats and is
+            # dropped (the dist path rebuilds per-shard operators)
             import jax.numpy as jnp
+            state = _dc.replace(state, lag_op=None)
             loc = lambda a: jnp.asarray(
                 _H.localize_nodal(plan, np.asarray(a)).reshape(
                     (-1,) + np.asarray(a).shape[1:]), dtype=md.dtype)
             state = jax.tree_util.tree_map(loc, state)
         extract = lambda st: gather_state(plan, st)
+        pack_fn = None
     else:
         mesh, static, state0, cfg = md.freeze()
         if state is None:
             state = state0
-        elif cfg.lag_operator and state.lag_op is None:
-            # checkpoints don't persist the carried operator; reseed it
-            import dataclasses as _dc
-            from shakti_tpu.solve.newton import zero_lag
-            state = _dc.replace(state, lag_op=zero_lag(mesh, md.dtype, cfg))
+        elif cfg.lag_operator:
+            lag = state.lag_op
+            ref = state0.lag_op
+            same = (lag is not None
+                    and all((a is None) == (b is None)
+                            and (a is None or np.asarray(a).shape
+                                 == np.asarray(b).shape)
+                            for a, b in zip(lag, ref)))
+            if not same:
+                # checkpoint predates lag persistence or was written under a
+                # different operator format/coarse size; reseed (first
+                # resumed step then rebuilds instead of reusing)
+                from shakti_tpu.solve.newton import zero_lag
+                lag = zero_lag(mesh, md.dtype, cfg)
+            state = _dc.replace(state, lag_op=lag)
+        elif state.lag_op is not None:
+            state = _dc.replace(state, lag_op=None)
         step_fn = make_step_fn(mesh, static, md.params, cfg)
         runner = jax.jit(lambda s, d: run_window(step_fn, s, d))
         extract = lambda st: st
+        # one concatenated device->host transfer per save window instead of
+        # four pulls (each pull costs tens of ms through the TPU tunnel;
+        # measured the difference on the bench, see bench.py pack)
+        import jax.numpy as jnp
+        pack_fn = jax.jit(lambda st: jnp.concatenate(
+            [st.N, st.b, st.q[:, 0], st.q[:, 1]]))
 
     newton_total = cg_total = 0
     t0 = time.time()
@@ -174,12 +200,17 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         if do_save:
             # histories are written in the caller's original node order
             # (freeze may renumber nodes for block locality)
-            gs = extract(state)
             unp = md.node_iperm if md.node_iperm is not None else slice(None)
-            hist["N"][row] = np.asarray(gs.N)[unp]
-            hist["b"][row] = np.asarray(gs.b)[unp]
-            hist["qx"][row] = np.asarray(gs.q[:, 0])[unp]
-            hist["qy"][row] = np.asarray(gs.q[:, 1])[unp]
+            if pack_fn is None:
+                gs = extract(state)
+                vals = (np.asarray(gs.N), np.asarray(gs.b),
+                        np.asarray(gs.q[:, 0]), np.asarray(gs.q[:, 1]))
+            else:
+                flat = np.asarray(pack_fn(state))
+                vals = tuple(flat[k * n_nodes:(k + 1) * n_nodes]
+                             for k in range(4))
+            for k, v in zip(("N", "b", "qx", "qy"), vals):
+                hist[k][row] = v[unp]
             log_rows.append((last, float(timesteps[last]), float(ni.mean()),
                              int(ni.max()), float(ci.mean()),
                              float(np.asarray(diags["rnorm"]).max())))
@@ -187,7 +218,8 @@ def solve(md, *, resume: bool = False, progress: bool = True):
             if io_on and last % nt_check == 0:
                 write_histories()
                 write_log()
-                ckpt.save_state(rdir, gs, last + 1, row, fingerprint=mesh_fp)
+                ckpt.save_state(rdir, extract(state), last + 1, row,
+                                fingerprint=mesh_fp)
         if progress and (w_idx + 1) % 10 == 0:
             done = last + 1
             print(f"Time step {done} of {nt} completed ({done / nt * 100:.1f}%)",

@@ -41,9 +41,12 @@ def _read_vars(path: str, var: str, xvar: str, yvar: str):
     ds = Dataset(path)
     try:
         raw = ds[var][:]
-        # masked cells -> NaN (matching the h5py fallback's semantics)
-        f = (raw.filled(np.nan) if hasattr(raw, "filled")
-             else np.asarray(raw)).astype(np.float64)
+        # masked cells -> NaN (matching the h5py fallback's semantics).
+        # Convert to float BEFORE filling: filling NaN into a masked
+        # integer-typed variable (e.g. BedMachine's int8 'mask') raises.
+        f = (raw.astype(np.float64).filled(np.nan)
+             if hasattr(raw, "filled")
+             else np.asarray(raw, dtype=np.float64))
         x = np.asarray(ds[xvar][:]).astype(np.float64)
         y = np.asarray(ds[yvar][:]).astype(np.float64)
     finally:

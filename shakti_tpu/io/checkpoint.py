@@ -34,6 +34,16 @@ def save_state(results_dir: str, state: State, next_step: int, next_row: int,
     extra = {}
     if fingerprint is not None:
         extra["mesh_crc"] = np.uint32(fingerprint)
+    if state.lag_op is not None:
+        # persist the carried-operator tuple so a resumed run replays the
+        # SAME iteration path as an uninterrupted one (bit-exact resume
+        # under cfg.lag_operator; reseeding with zero_lag forces a rebuild
+        # on the first resumed step, diverging the stall-floor iterates)
+        ok, age, vals, a_diag, A_inv = state.lag_op
+        extra.update(lag_ok=np.asarray(ok), lag_age=np.asarray(age),
+                     lag_vals=np.asarray(vals), lag_adiag=np.asarray(a_diag))
+        if A_inv is not None:
+            extra["lag_Ainv"] = np.asarray(A_inv)
     np.savez(tmp,
              N=np.asarray(state.N), b=np.asarray(state.b),
              q=np.asarray(state.q), melt=np.asarray(state.melt),
@@ -65,6 +75,14 @@ def load_state(results_dir: str, dtype=None, fingerprint: int | None = None):
                 f"{int(fingerprint):#010x}); refusing to resume")
         f = (lambda a: jnp.asarray(a, dtype=dtype)) if dtype else jnp.asarray
         np_prev = z["N_prev"] if "N_prev" in z.files else z["N"]
+        lag_op = None
+        if "lag_vals" in z.files:
+            # carried-operator tuple: restore with exact dtypes (bool flag,
+            # int32 age, state-dtype values)
+            lag_op = (jnp.asarray(bool(z["lag_ok"])),
+                      jnp.asarray(z["lag_age"], jnp.int32),
+                      f(z["lag_vals"]), f(z["lag_adiag"]),
+                      f(z["lag_Ainv"]) if "lag_Ainv" in z.files else None)
         state = State(N=f(z["N"]), b=f(z["b"]), q=f(z["q"]), melt=f(z["melt"]),
-                      N_prev=f(np_prev))
+                      N_prev=f(np_prev), lag_op=lag_op)
         return state, int(z["next_step"]), int(z["next_row"])

@@ -105,6 +105,18 @@ def fill_sinks(z, max_iter: int = None):
         if np.array_equal(Fn, F):
             break
         F = Fn
+    else:
+        # Reconstruction propagates ~one cell per sweep along the flow
+        # path; serpentine/flat (quantized) terrain can exceed the cap.  A
+        # truncated fill silently leaves depressions -> spurious interior
+        # outlets and a wrong basin outline, so it must be loud.
+        import warnings
+        unfilled = int(np.count_nonzero(~np.isfinite(F)))
+        warnings.warn(
+            f"fill_sinks did not reach its fixpoint within {cap} sweeps "
+            f"({unfilled} cells still unfilled); pass a larger max_iter "
+            "— the basin outline derived from this fill is unreliable",
+            RuntimeWarning, stacklevel=2)
     return F
 
 

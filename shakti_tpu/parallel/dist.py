@@ -30,9 +30,9 @@ def build_distributed(md, jmesh, axis: str = "x"):
     Returns (payload, plan, cfg) where payload is a dict of stacked arrays
     (leading axis P*·, shard_map-ready) and plan the host-side halo plan.
     """
-    # capture the USER's coarse_block before freeze(): freeze rewrites the
-    # 64 'auto' sentinel to a global-mesh-sized block (api/model.py), which
-    # would make the sentinel test below dead at production scale
+    # capture the USER's coarse_block before freeze(): freeze resolves the
+    # None 'auto' sentinel to a global-mesh-sized block (api/model.py),
+    # which would make the sentinel test below dead at production scale
     user_blk = md.solver.coarse_block
     mesh, static, state, cfg = md.freeze()
     Pn = jmesh.shape[axis]
@@ -41,14 +41,13 @@ def build_distributed(md, jmesh, axis: str = "x"):
     plan = H.build_halo(n, cells_np, Pn)
     # per-shard additive two-level preconditioner (precond.py
     # make_local_two_level) when the user kept the two_level default.
-    # coarse_block == 64 is the 'auto' sentinel: size the LOCAL aggregates
-    # so each shard's dense coarse problem has a few hundred to ~1k dofs —
-    # at small L the global default of 64 leaves too few aggregates per
-    # shard to matter.  The lagged-operator carry is not supported on the
-    # halo path (per-shard operator rebuilds are cheap relative to the
-    # all_to_all traffic anyway).
+    # coarse_block None is the 'auto' sentinel: size the LOCAL aggregates
+    # so each shard's dense coarse problem has a few hundred to ~1k dofs;
+    # an explicit int is taken literally.  The lagged-operator carry is
+    # not supported on the halo path (per-shard operator rebuilds are
+    # cheap relative to the all_to_all traffic anyway).
     blk = user_blk
-    if blk == 64:
+    if blk is None:
         blk = 8
         while plan["L"] // blk > 1024:
             blk *= 2

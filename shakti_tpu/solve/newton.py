@@ -45,7 +45,11 @@ class NewtonConfig:
     krylov: str = "cg"          # 'cg' or 'bicgstab'
     quad_degree: int = 4        # quadrature rule (see fem/p1.py)
     precond: str = "two_level"  # 'jacobi' or 'two_level' (solve/precond.py)
-    coarse_block: int = 64      # aggregate size for the two-level coarse grid
+    # Aggregate size for the two-level coarse grid.  None = auto: resolved
+    # at api/model.freeze (single-chip: cap the dense coarse problem at
+    # ~1.5k dofs) or parallel/dist.build_distributed (per-shard sizing);
+    # an explicit int is always taken literally.
+    coarse_block: int | None = None
     # Jacobian diagonal floor (relative to the max diagonal): where the gap
     # height is clamped at b_min and closure is negligible, the N-equation
     # degenerates (near-zero matrix row — N locally undetermined) and both
@@ -167,6 +171,9 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
     Returns (N, stats) with stats = dict(iters, rnorm0, rnorm, converged,
     cg_iters[, lag]).  Fully traceable; call under jit/scan.
     """
+    if cfg.coarse_block is None:
+        # direct callers (tests/scripts) may skip freeze's auto-resolution
+        cfg = dataclasses.replace(cfg, coarse_block=64)
     lin_solve = krylov.get_solver(cfg.krylov)
     # reductions: ghost-masked + psum'd in node-sharded SPMD mode
     if mesh.halo is not None:
@@ -324,6 +331,10 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
             return (cond(s) & (s[6] == 0) & op[0]
                     & (op[1] <= cfg.lag_max_age))
         mid = jax.lax.while_loop(cond0, make_body(True), init)
+        # the reused-operator iteration must not pre-charge the rebuild
+        # loop's stall budget (a carried operator up to lag_max_age old can
+        # legitimately fail the progress test); max_iter still counts it
+        mid = mid[:5] + (mid[5] * 0,) + mid[6:]
         out = jax.lax.while_loop(cond, make_body(False), mid)
     else:
         out = jax.lax.while_loop(cond, make_body(False), init)

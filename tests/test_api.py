@@ -69,6 +69,45 @@ def test_checkpoint_resume_bit_exact(tmp_path):
     np.testing.assert_array_equal(out_full["history"]["N"], out_b["history"]["N"])
 
 
+def test_checkpoint_resume_bit_exact_lag_operator(tmp_path):
+    """With cfg.lag_operator the carried operator tuple is persisted in the
+    checkpoint (io/checkpoint.py), so a resumed run replays the SAME
+    Newton iteration path — bit-exact against the uninterrupted run."""
+    import dataclasses
+
+    def lag_md(name):
+        md = make_md(tmp_path, name=name)
+        md.solver = dataclasses.replace(md.solver, lag_operator=True,
+                                        adaptive_dt_levels=0)
+        return md
+
+    md_full = lag_md("lag_full")
+    out_full = solve(md_full, progress=False)
+    assert out_full["state"].lag_op is not None
+
+    md_a = lag_md("lag_split")
+    md_a.nt_check = 2 * md_a.nt_save
+    nt = md_a.timesteps.size
+    md_a.timesteps = md_a.timesteps[: nt // 2 + 1]
+    solve(md_a, progress=False)
+
+    md_b = lag_md("lag_split2")
+    md_b.results_name = md_a.results_name
+    md_b.nt_check = 2 * md_b.nt_save
+    out_b = solve(md_b, resume=True, progress=False)
+
+    np.testing.assert_array_equal(np.asarray(out_full["state"].N),
+                                  np.asarray(out_b["state"].N))
+    np.testing.assert_array_equal(np.asarray(out_full["state"].b),
+                                  np.asarray(out_b["state"].b))
+    np.testing.assert_array_equal(out_full["history"]["N"],
+                                  out_b["history"]["N"])
+    # the carry itself round-tripped: same validity/age as the full run
+    la, lb = out_full["state"].lag_op, out_b["state"].lag_op
+    assert bool(np.asarray(la[0])) == bool(np.asarray(lb[0]))
+    np.testing.assert_array_equal(np.asarray(la[2]), np.asarray(lb[2]))
+
+
 def test_in_memory_run_without_results_dir():
     md = slab.initialize(nx=8, ny=8, days=0.5, nt_per_day=4)
     assert md.results_name is None
