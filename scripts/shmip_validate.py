@@ -1,9 +1,19 @@
-"""SHMIP suite-A validation artifact (VERDICT r1 item 8).
+"""SHMIP validation artifact: suites A, B, C (VERDICT r1 item 8 + r2 item 5).
 
-Runs A1/A3/A5 to long horizon on CPU float64 and compares against the
-INDEPENDENT 1D steady oracle (oracle/shmip_oracle.py — scipy shooting on
-the y-uniform steady SHAKTI equations, sharing no code with the framework),
-plus exact global mass-conservation checks (solve/diagnostics.py).
+Suite A (A1/A3/A5, distributed input): long-horizon CPU f64 transients vs
+the INDEPENDENT 1D steady oracle (oracle/shmip_oracle.py — scipy shooting
+on the y-uniform steady SHAKTI equations, sharing no code with the
+framework), plus exact global mass-conservation checks
+(solve/diagnostics.py).
+
+Suite B (B1-B5, moulin input): equal-rate moulins totaling the
+A5-equivalent 90 m^3/s; checks global conservation per case and the
+many-moulins -> distributed-limit convergence of the y-mean N profile
+(B5 vs A5).
+
+Suite C (C1-C4, diurnal forcing on B5): window-mean-N oscillation
+amplitude must grow monotonically with the forcing amplitude Ra and
+oscillate about the B5 steady value.
 
 Writes SHMIP.md + scripts/shmip_results.json.
 
@@ -69,12 +79,88 @@ def run_case(case, years, nx=60, ny=12, nt_per_day=4):
     return md, state, p, yearly, Q_out, Q_src
 
 
+def ymean_profile(md, N):
+    """y-averaged N per structured-mesh x-column."""
+    xs = np.unique(np.round(md.x, 6))
+    prof = np.array([N[np.isclose(md.x, xv)].mean() for xv in xs])
+    return xs, prof
+
+
+def run_b_case(case, years, nx=60, ny=12, nt_per_day=4):
+    """Suite B: moulin input (A1 background + equal-rate moulins totaling
+    the A5-equivalent 90 m^3/s).  Returns steady metrics + the y-mean
+    profile for the many-moulins -> distributed-limit comparison."""
+    md = shmip.initialize(case, nx=nx, ny=ny, days=365 * years,
+                          nt_per_day=nt_per_day)
+    mesh, static, state, cfg = md.freeze()
+    step = make_step_fn(mesh, static, md.params, cfg)
+    dts = timestep_sizes(md.timesteps, dtype=md.dtype)
+    runner = jax.jit(lambda s, d: run_window(step, s, d))
+    conv = True
+    W = 365 * nt_per_day
+    i = 0
+    while i < dts.shape[0]:
+        state, dstep = runner(state, dts[i:i + W])
+        conv = conv and bool(np.asarray(dstep["converged"]).all())
+        i += W
+    Q_out = diag.boundary_discharge(mesh, static, state, md.params)
+    Q_src = diag.water_production(mesh, static, state, md.params)
+    return md, state, Q_out, Q_src, conv
+
+
+def run_c_case(case, state_b5, days=10, nt_per_day=48):
+    """Suite C: diurnal forcing on the spun-up B5 state.  Measures the
+    window-mean-N oscillation over the final two diurnal cycles."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from shakti_tpu.solve.timestep import make_forcing
+
+    md = shmip.initialize(case, nx=60, ny=12, days=days,
+                          nt_per_day=nt_per_day)
+    mesh, static, state0, cfg = md.freeze()
+    # continue from the B5 steady state (same mesh/ordering by construction)
+    cvt = lambda a: jnp.asarray(np.asarray(a), dtype=md.dtype)
+    state = _dc.replace(state0, N=cvt(state_b5.N), b=cvt(state_b5.b),
+                        q=cvt(state_b5.q), melt=cvt(state_b5.melt),
+                        N_prev=cvt(state_b5.N))
+    forcing = make_forcing(md.timesteps, dtype=md.dtype,
+                           seasonal=md.seasonal_inputs)
+    step = make_step_fn(mesh, static, md.params, cfg)
+    runner = jax.jit(lambda s, f: run_window(step, s, f))
+    win = (md.x > WINDOW[0]) & (md.x < WINDOW[1])
+
+    nt = md.timesteps.size
+    i0 = nt - 2 * nt_per_day          # settle, then sample the final 2 days
+    take = lambda a, i, j: a[i:j]
+    f_pre = jax.tree_util.tree_map(lambda a: take(a, 0, i0), forcing)
+    conv = True
+    state, dstep = runner(state, f_pre)
+    conv = conv and bool(np.asarray(dstep["converged"]).all())
+    sub = []
+    for k in range(i0, nt):
+        f_k = jax.tree_util.tree_map(lambda a: take(a, k, k + 1), forcing)
+        state, dstep = runner(state, f_k)
+        conv = conv and bool(np.asarray(dstep["converged"]).all())
+        sub.append(float(np.asarray(state.N)[win].mean()))
+    sub = np.array(sub)
+    return md, {
+        "Ra": shmip.CASES_C[case],
+        "N_mean_cycle": float(sub.mean()),
+        "N_amp_rel": float((sub.max() - sub.min()) / sub.mean()),
+        "converged": conv,
+    }
+
+
 def main(quick=False):
     plans = [("A1", 3 if quick else 10), ("A3", 2 if quick else 10),
              ("A5", 2 if quick else 12)]
     out = {}
     lines = [
-        "# SHMIP suite-A validation",
+        "# SHMIP validation (suites A, B, C)",
+        "",
+        "## Suite A (distributed input)",
         "",
         "Framework (2D transient, CPU f64, 60x12 rectangle) vs the",
         "independent 1D steady oracle (`oracle/shmip_oracle.py`, scipy",
@@ -85,9 +171,12 @@ def main(quick=False):
         "y-spread @50km | Q_out [m^3/s] | Q_src [m^3/s] | imbalance |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
+    A5_md = A5_state = None
     for case, years in plans:
         t0 = time.time()
         md, state, p, yearly, Q_out, Q_src = run_case(case, years)
+        if case == "A5":
+            A5_md, A5_state = md, state
         last = yearly[-1]
         imb = abs(Q_out - Q_src) / max(abs(Q_src), 1e-30)
         out[case] = {"years": years, "yearly": yearly,
@@ -101,9 +190,79 @@ def main(quick=False):
             f"| {last['yspread_50km']:.3f} "
             f"| {Q_out:.3f} | {Q_src:.3f} | {imb:.1e} |")
         print(f"{case}: {json.dumps(out[case]['yearly'][-1])}", flush=True)
+
+    # ---- suite B: moulin inputs (A1 background + 90 m^3/s via moulins) ----
     lines += [
         "",
-        "## Reading",
+        "## Suite B (moulins)",
+        "",
+        "n equal-rate moulins summing to the A5-equivalent 90 m^3/s, on the",
+        "A1 distributed background (seeded-uniform positions — SHMIP's",
+        "coordinate files are not redistributable; the metrics below are",
+        "position-robust).  `relN(B, A5)` compares the y-averaged window",
+        "N profile against the A5 distributed run: the many-moulins limit",
+        "(B5) must approach the distributed case.",
+        "",
+        "| case | moulins | window mean N [MPa] | relN(B, A5) | "
+        "Q_out [m^3/s] | Q_src [m^3/s] | imbalance |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    xs_a5, prof_a5 = ymean_profile(A5_md, np.asarray(A5_state.N))
+    win_x = (xs_a5 > WINDOW[0]) & (xs_a5 < WINDOW[1])
+    b_years = 2 if quick else 5
+    B5_state = None
+    for case in ("B1", "B2", "B3", "B4", "B5"):
+        t0 = time.time()
+        md, state, Q_out, Q_src, conv = run_b_case(case, b_years)
+        if case == "B5":
+            B5_state = state
+        xs, prof = ymean_profile(md, np.asarray(state.N))
+        relA5 = float(np.linalg.norm(prof[win_x] - prof_a5[win_x])
+                      / np.linalg.norm(prof_a5[win_x]))
+        imb = abs(Q_out - Q_src) / max(abs(Q_src), 1e-30)
+        win = (md.x > WINDOW[0]) & (md.x < WINDOW[1])
+        out[case] = {"moulins": shmip.CASES_B[case], "years": b_years,
+                     "relN_vs_A5": relA5, "Q_out": Q_out, "Q_src": Q_src,
+                     "imbalance": imb, "converged": conv,
+                     "wall_s": round(time.time() - t0, 1)}
+        lines.append(
+            f"| {case} | {shmip.CASES_B[case]} "
+            f"| {np.asarray(state.N)[win].mean() / 1e6:.3f} | {relA5:.3f} "
+            f"| {Q_out:.3f} | {Q_src:.3f} | {imb:.1e} |")
+        print(f"{case}: {json.dumps(out[case])}", flush=True)
+
+    # ---- suite C: diurnal forcing of B5 ----
+    lines += [
+        "",
+        "## Suite C (diurnal forcing)",
+        "",
+        "B5 moulin input modulated inputs(t) = inputs max(0, 1 + Ra",
+        "sin(2 pi t/day)), continued from the spun-up B5 state; the",
+        "window-mean-N oscillation over the final two cycles must grow",
+        "monotonically with the forcing amplitude Ra and oscillate about",
+        "the B5 steady value.",
+        "",
+        "| case | Ra | cycle-mean N [MPa] | N amplitude (rel) |",
+        "|---|---|---|---|",
+    ]
+    amps = []
+    c_days = 6 if quick else 10
+    for case in ("C1", "C2", "C3", "C4"):
+        t0 = time.time()
+        md, m = run_c_case(case, B5_state, days=c_days)
+        m["wall_s"] = round(time.time() - t0, 1)
+        out[case] = m
+        amps.append(m["N_amp_rel"])
+        lines.append(f"| {case} | {m['Ra']} | {m['N_mean_cycle'] / 1e6:.3f} "
+                     f"| {m['N_amp_rel']:.2e} |")
+        print(f"{case}: {json.dumps(m)}", flush=True)
+    mono = bool(np.all(np.diff(amps) > 0))
+    lines.append("")
+    lines.append(f"Amplitude monotonic in Ra: **{mono}**.")
+    out["C_amplitude_monotonic"] = mono
+    lines += [
+        "",
+        "## Reading (suite A)",
         "",
         "- **A1** (low input, laminar sheet): the 2D transient converges to",
         "  the y-uniform steady branch and matches the independent oracle to",

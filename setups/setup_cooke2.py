@@ -30,16 +30,24 @@ from shakti_tpu.data.interp import GridInterpolator
 from shakti_tpu.params import DEFAULT_PARAMS as P
 
 
-def _synthetic_grids(lx, ly):
+def _synthetic_grids(bounds, lake_xy):
     """Cook_E2-scale synthetic bed/surface/GHF grids (used when the real
-    datasets are absent).  Bed: sloping with a closed depression under the
-    lake; surface: gently sloping ice sheet ~1.5 km thick."""
-    gx = np.linspace(-0.2 * lx, 1.2 * lx, 400)
-    gy = np.linspace(-0.2 * ly, 1.2 * ly, 400)
+    datasets are absent), sized to the MESH bounding box so they remain
+    valid for any catchment mesh (the committed basin mesh spans ~200 km —
+    a fixed 100 km grid would leave most of it extrapolated).  Bed: sloping
+    with a closed depression under the lake; surface: gently sloping ice
+    sheet ~1.5 km thick."""
+    x0, x1, y0, y1 = bounds
+    mx, my = x1 - x0, y1 - y0
+    gx = np.linspace(x0 - 0.1 * mx, x1 + 0.1 * mx, 500)
+    gy = np.linspace(y0 - 0.1 * my, y1 + 0.1 * my, 500)
     X, Y = np.meshgrid(gx, gy)
-    r2 = ((X - 0.55 * lx) ** 2 + (Y - 0.5 * ly) ** 2) / (12e3) ** 2
-    bed = -400.0 + 0.004 * X + 0.002 * Y - 120.0 * np.exp(-r2)
-    surf = bed + 1500.0 - 0.006 * X
+    # depression depth/width: -60 m over 15 km gives a clear closed basin
+    # (potential low ~50 kPa) with a cold-start transient the f32 TPU
+    # solver certifies; the real BedMachine trough enters via the data path
+    r2 = ((X - lake_xy[0]) ** 2 + (Y - lake_xy[1]) ** 2) / (15e3) ** 2
+    bed = -400.0 + 0.004 * (X - x0) + 0.002 * (Y - y0) - 60.0 * np.exp(-r2)
+    surf = bed + 1500.0 - 0.006 * (X - x0)
     ghf = np.full_like(bed, 0.055) + 0.01 * np.sin(X / 3e4) * np.cos(Y / 4e4)
     return (gx, gy, bed), (gx, gy, surf), (gx, gy, ghf)
 
@@ -77,11 +85,27 @@ def initialize(days=10 * 365, nt_per_day=24, results_name="auto", seed=0):
         inv = load_inventory(inv_path)
         if lake_name in inv:
             outline = outline_m(inv, lake_name)
+    if outline is None and msh_path and os.path.exists(msh_path):
+        # a lake outline committed alongside the mesh (mesh-aligned
+        # coordinates — the synthetic circle below is bbox-relative and
+        # may miss an irregular catchment entirely)
+        lk = os.path.join(os.path.dirname(msh_path), "lake.npy")
+        if os.path.exists(lk):
+            outline = np.load(lk)
     if outline is None:
+        cx = 0.5 * (md.x.min() + md.x.max())
+        cy = 0.5 * (md.y.min() + md.y.max())
         th = np.linspace(0, 2 * np.pi, 181)
-        outline = np.column_stack([0.55 * lx + 11e3 * np.cos(th),
-                                   0.5 * ly + 9e3 * np.sin(th)])
+        outline = np.column_stack([cx + 11e3 * np.cos(th),
+                                   cy + 9e3 * np.sin(th)])
     md.set_lake_bdry(outline)
+    if not md.lake_bdry.any():
+        import warnings
+        warnings.warn("setup_cooke2: lake outline contains no mesh nodes — "
+                      "the storage term will be identically zero",
+                      RuntimeWarning)
+    lake_c = (outline[np.isfinite(outline[:, 0]), 0].mean(),
+              outline[np.isfinite(outline[:, 1]), 1].mean())
 
     # ---- gridded data -> nodal fields (reference :39-62) ----
     def grid_or(env, reader, fallback):
@@ -90,7 +114,8 @@ def initialize(days=10 * 365, nt_per_day=24, results_name="auto", seed=0):
             return reader(path)
         return fallback
 
-    bed_f, surf_f, ghf_f = _synthetic_grids(lx, ly)
+    mesh_bounds = (md.x.min(), md.x.max(), md.y.min(), md.y.max())
+    bed_f, surf_f, ghf_f = _synthetic_grids(mesh_bounds, lake_c)
     try:
         from shakti_tpu.data import netcdf as nc
         bed_g = grid_or("SHAKTI_BEDMACHINE", nc.read_bedmachine, bed_f)
@@ -104,8 +129,22 @@ def initialize(days=10 * 365, nt_per_day=24, results_name="auto", seed=0):
     md.interp_data("G", *ghf_g)
 
     # ---- initial conditions (reference :66-69; seeded unlike the ref) ----
+    # Documented deviation: the reference draws b ~ 0.001 + N(0, 0.005)
+    # UNCLAMPED (46% of nodes start with unphysical b < 0; |b|^3 spans ~10
+    # decades cell-to-cell), which its direct PETSc LU solves tolerate but
+    # an f32 iterative Newton-Krylov cannot certify (measured: step-1
+    # residual stalls at ~8e-3 of scale even with dt-halving).  The noise
+    # only exists to seed channelization asymmetry, so we keep it at a
+    # tenth the amplitude and clamped to b_min — same role, certifiable
+    # cold start (the bench uses the identical recipe).  Set
+    # SHAKTI_REFERENCE_BINIT=1 to reproduce the reference's exact draw
+    # (requires float64).
     rng = np.random.default_rng(seed)
-    md.b_init = 0.001 + rng.normal(scale=0.005, size=md.x.size)
+    if os.environ.get("SHAKTI_REFERENCE_BINIT") == "1":
+        md.b_init = 0.001 + rng.normal(scale=0.005, size=md.x.size)
+    else:
+        md.b_init = np.maximum(
+            0.001 + rng.normal(scale=5e-4, size=md.x.size), 1e-5)
     md.N_init = np.full(md.x.size, md.N_bdry)
 
     # ---- outflow = minimum background potential (reference :72-80) ----

@@ -205,7 +205,11 @@ class ModelSetup:
         n = self.nodes.shape[0]
         nodes, cells = self.nodes, self.cells
         perm = None
-        reorder = op in ("bell", "bcsr") or getattr(self, "distributed", False)
+        reorder = (op in ("bell", "bcsr")
+                   or getattr(self, "distributed", False)
+                   # contiguous-range aggregation (solve/mg.py) needs the
+                   # RCB ordering for spatially-compact aggregates
+                   or self.solver.precond == "mg")
         if reorder:
             from shakti_tpu.parallel.partition import rcb_order
             perm = rcb_order(nodes)
@@ -250,12 +254,29 @@ class ModelSetup:
             while n // blk > 1536:
                 blk *= 2
             cfg = _dc.replace(cfg, coarse_block=blk)
+        if cfg.precond == "mg" and not getattr(self, "distributed", False):
+            # multilevel hierarchy (solve/mg.py) is host-built per mesh;
+            # small meshes return None and degenerate to two_level.
+            # Distributed runs build their own localized hierarchy in
+            # parallel/dist.build_distributed.
+            from shakti_tpu.solve.mg import build_hierarchy
+            import dataclasses as _dcm
+            plan = build_hierarchy(cells, n, agg=cfg.mg_agg,
+                                   cap=cfg.mg_coarse_cap)
+            if plan is not None:
+                mesh = _dcm.replace(mesh, mg=plan)
         if cfg.lag_operator is None:
             # auto: carry the operator exactly in the block-ELL regime
             # (single-chip TPU path; HBM-safe at <= 200k nodes and the
-            # measured 21% step-time win) — see NewtonConfig.lag_operator
+            # measured 21% step-time win) — see NewtonConfig.lag_operator.
+            # The carry holds a two-level coarse inverse, so it is
+            # incompatible with the multilevel preconditioner.
             import dataclasses as _dc2
-            cfg = _dc2.replace(cfg, lag_operator=(op == "bell"))
+            cfg = _dc2.replace(cfg, lag_operator=(op == "bell"
+                                                  and cfg.precond != "mg"))
+        elif cfg.lag_operator and cfg.precond == "mg":
+            import dataclasses as _dc2b
+            cfg = _dc2b.replace(cfg, lag_operator=False)
         if cfg.lag_operator:
             # seed the carried-operator slot (invalid until step 1 builds
             # it) — AFTER the coarse_block adjustment so A_inv's shape

@@ -86,6 +86,9 @@ class Mesh:
     coarse_agg: Any = None          # (L,) int32
     coarse_m: int | None = dataclasses.field(default=None,
                                              metadata=dict(static=True))
+    # Multilevel-preconditioner hierarchy (solve/mg.MGPlan) when
+    # cfg.precond == 'mg'; built host-side at freeze / build_distributed.
+    mg: Any = None
 
     @property
     def n_nodes(self) -> int:

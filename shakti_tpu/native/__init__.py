@@ -56,6 +56,25 @@ def _hash_ok(L, lib_path: str) -> bool:
         return hashlib.sha256(f.read()).hexdigest()[:16] == embedded
 
 
+def _try_build() -> str | None:
+    """Build libshakti_native.so from source on first use (the binary is
+    NOT checked into the repo — supply-chain hygiene; numpy fallbacks cover
+    hosts without a toolchain).  Returns the built path or None."""
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    csrc = os.path.join(here, "csrc")
+    if not os.path.exists(os.path.join(csrc, "shakti_native.cpp")):
+        return None
+    import subprocess
+    try:
+        r = subprocess.run(["make", "-C", csrc], capture_output=True,
+                           timeout=240)
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    path = os.path.join(csrc, "libshakti_native.so")
+    return path if r.returncode == 0 and os.path.exists(path) else None
+
+
 def lib():
     """The loaded library handle, or None (fallback mode)."""
     global _LIB, _TRIED
@@ -66,13 +85,24 @@ def lib():
         return None
     path = _find_lib()
     if path is None:
+        path = _try_build()
+    if path is None:
         return None
     try:
         L = ctypes.CDLL(path)
     except OSError:
         return None
     if not _hash_ok(L, path):
-        return None  # stale binary vs edited source: use numpy fallbacks
+        # stale binary vs edited source: rebuild once, else numpy fallbacks
+        path = _try_build()
+        if path is None:
+            return None
+        try:
+            L = ctypes.CDLL(path)
+        except OSError:
+            return None
+        if not _hash_ok(L, path):
+            return None
     i64, i32, u8, f64 = (ctypes.c_int64, ctypes.c_int32, ctypes.c_uint8,
                          ctypes.c_double)
     P = ctypes.POINTER

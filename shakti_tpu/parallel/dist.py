@@ -24,6 +24,80 @@ from shakti_tpu.parallel.shard import make_device_mesh, shard_map
 from shakti_tpu.solve.timestep import State, StaticFields, make_step_fn, run_window
 
 
+def _build_shard_operators(plan, op_l: str, Pn: int, L: int):
+    """Per-shard assembled-operator structures, padded to uniform shapes
+    across shards (shard_map needs one static shape).  Returns
+    (stacked host arrays dict, static meta dict)."""
+    local_cells = plan["local_cells"]
+    cmax9 = local_cells.shape[1] * 9
+    if op_l == "ell":
+        from shakti_tpu.fem.ell import build_ell_map
+        parts = [build_ell_map(local_cells[p], L) for p in range(Pn)]
+        K = max(c.shape[1] for c, _, _ in parts)
+        cols = np.empty((Pn, L, K), dtype=np.int32)
+        smap = np.empty((Pn, cmax9), dtype=np.int32)
+        diag = np.empty((Pn, L), dtype=np.int32)
+        for p, (c_p, s_p, d_p) in enumerate(parts):
+            Kp = c_p.shape[1]
+            cols[p] = np.concatenate(
+                [c_p, np.broadcast_to(np.arange(L, dtype=np.int32)[:, None],
+                                      (L, K - Kp))], axis=1) if Kp < K else c_p
+            # re-stride flat slots from row-stride Kp to row-stride K
+            smap[p] = (s_p // Kp) * K + s_p % Kp
+            diag[p] = d_p
+        return ({"cols": cols.reshape(-1, K), "map": smap.reshape(-1),
+                 "diag": diag.reshape(-1)}, {"format": "ell", "K": K})
+    if op_l == "bell":
+        from shakti_tpu.fem.bell import build_block_ell
+        B = 128
+        NB = -(-L // B)
+        parts = [build_block_ell(local_cells[p], L, B) for p in range(Pn)]
+        KBm = max(kb for _, _, _, kb in parts)
+        if NB * KBm * B * B >= np.iinfo(np.int32).max:
+            raise ValueError(
+                f"per-shard block-ELL slot space overflows int32 at "
+                f"L={L}; use operator='bcsr' (its 2-D addressing is "
+                "int32-safe at any size)")
+        nbr = np.empty((Pn, NB, KBm), dtype=np.int32)
+        smap = np.empty((Pn, cmax9), dtype=np.int32)
+        diag = np.empty((Pn, L), dtype=np.int32)
+        BB = B * B
+        for p, (nbr_p, s_p, d_p, KBp) in enumerate(parts):
+            nbr[p] = np.concatenate(
+                [nbr_p, np.broadcast_to(
+                    np.arange(NB, dtype=np.int32)[:, None],
+                    (NB, KBm - KBp))], axis=1) if KBp < KBm else nbr_p
+            restride = lambda s: ((s // BB) // KBp * KBm
+                                  + (s // BB) % KBp) * BB + s % BB
+            smap[p] = restride(s_p)
+            diag[p] = restride(d_p)
+        return ({"nbr": nbr.reshape(-1, KBm), "map": smap.reshape(-1),
+                 "diag": diag.reshape(-1)},
+                {"format": "bell", "B": B, "NB": NB, "KB": KBm})
+    if op_l == "bcsr":
+        from shakti_tpu.fem.bcsr import build_bcsr
+        B = 32 if L <= 6_000_000 else 16
+        parts = [build_bcsr(local_cells[p], L, B) for p in range(Pn)]
+        NB = parts[0][6]
+        nnzb = max(p[0].shape[0] for p in parts)
+        brow = np.full((Pn, nnzb), NB - 1, dtype=np.int32)
+        bcol = np.zeros((Pn, nnzb), dtype=np.int32)
+        blk = np.empty((Pn, cmax9), dtype=np.int32)
+        off = np.empty((Pn, cmax9), dtype=np.int32)
+        dblk = np.empty((Pn, L), dtype=np.int32)
+        doff = np.empty((Pn, L), dtype=np.int32)
+        for p, (br, bc, bl, of, db, do, _) in enumerate(parts):
+            k = br.shape[0]
+            brow[p, :k] = br
+            bcol[p, :k] = bc
+            blk[p], off[p], dblk[p], doff[p] = bl, of, db, do
+        return ({"brow": brow.reshape(-1), "bcol": bcol.reshape(-1),
+                 "blk": blk.reshape(-1), "off": off.reshape(-1),
+                 "dblk": dblk.reshape(-1), "doff": doff.reshape(-1)},
+                {"format": "bcsr", "B": B, "NB": NB, "nnzb": nnzb})
+    raise ValueError(f"unknown per-shard operator format '{op_l}'")
+
+
 def build_distributed(md, jmesh, axis: str = "x"):
     """Partition a frozen model into per-device arrays + halo plan.
 
@@ -62,28 +136,41 @@ def build_distributed(md, jmesh, axis: str = "x"):
     agg_global = (np.arange(n, dtype=np.int64) // gblk).astype(np.int32)
     dtype = np.asarray(mesh.area).dtype
 
+    # multilevel V-cycle hierarchy (solve/mg.py): the weak-scaling PC.
+    # Auto-selected over the global two-level once the mesh is large
+    # enough that the hierarchy has intermediate ELL levels — exactly the
+    # regime where the single dense coarse stops scaling (r2: 2.7k-4.6k
+    # CG iters/step at 10M dof).  Structure is GLOBAL (the coarse levels
+    # are replicated); map9/agg_fine are localized per shard below.
+    from shakti_tpu.solve.mg import build_hierarchy
+    mg_plan = None
+    if cfg.precond in ("two_level", "mg"):
+        cand = build_hierarchy(cells_np, n, agg=cfg.mg_agg,
+                               cap=cfg.mg_coarse_cap)
+        if cand is not None and (cfg.precond == "mg" or len(cand.cols) > 0):
+            mg_plan = cand
+            cfg = dataclasses.replace(cfg, precond="mg")
+
     cell_ids = plan["cell_ids"]                       # (P, cmax)
     loc = lambda f: H.localize_nodal(plan, np.asarray(f))
-
-    # per-shard scalar-ELL operator structure on the local numbering
-    # (Krylov matvecs become local gather-only + one halo accumulate,
-    # instead of cell gather + element matvec + scatter per iteration)
-    from shakti_tpu.fem.ell import build_ell_map
     L = plan["L"]
-    ell_parts = [build_ell_map(plan["local_cells"][p], L)
-                 for p in range(Pn)]
-    K = max(c.shape[1] for c, _, _ in ell_parts)
-    ell_cols = np.empty((Pn, L, K), dtype=np.int32)
-    ell_map = np.empty((Pn, plan["local_cells"].shape[1] * 9), dtype=np.int32)
-    ell_diag = np.empty((Pn, L), dtype=np.int32)
-    for p, (cols, smap, dslot) in enumerate(ell_parts):
-        Kp = cols.shape[1]
-        ell_cols[p] = np.concatenate(
-            [cols, np.broadcast_to(np.arange(L, dtype=np.int32)[:, None],
-                                   (L, K - Kp))], axis=1) if Kp < K else cols
-        # re-stride flat slots from row-stride Kp to row-stride K
-        ell_map[p] = (smap // Kp) * K + smap % Kp
-        ell_diag[p] = dslot
+
+    # Per-shard assembled-operator format on the local numbering (Krylov
+    # matvecs become local gather/matmul work + one halo accumulate,
+    # instead of cell gather + element matvec + scatter per iteration).
+    # Format mirrors the single-chip auto rule on TPU — block-ELL (MXU
+    # SpMV, fem/bell.py) through medium shard sizes, block-CSR beyond
+    # (fem/bcsr.py) — and stays scalar-ELL on hosts without an MXU, where
+    # the dense-block layouts only multiply memory (the CPU virtual-mesh
+    # regime; the 10M artifact runs there).  md.operator overrides.
+    user_op = getattr(md, "operator", "auto")
+    if user_op in ("ell", "bell", "bcsr"):
+        op_l = user_op
+    elif jax.default_backend() == "tpu":
+        op_l = "bell" if L <= 200_000 else "bcsr"
+    else:
+        op_l = "ell"
+    op_payload, op_meta = _build_shard_operators(plan, op_l, Pn, L)
 
     payload = {
         # cell data, (P*cmax, ...)
@@ -108,10 +195,8 @@ def build_distributed(md, jmesh, axis: str = "x"):
         "b0": loc(state.b).reshape(-1),
         "q0": loc(state.q).reshape(-1, 2),
         "melt0": loc(state.melt).reshape(-1),
-        # per-shard ELL operator, (P*L, K) / (P*9cmax,) / (P*L,)
-        "ell_cols": ell_cols.reshape(-1, K),
-        "ell_map": ell_map.reshape(-1),
-        "ell_diag": ell_diag.reshape(-1),
+        # per-shard assembled-operator structure (stacked, format-specific)
+        "op": op_payload,
         "coarse_agg": loc(agg_global).reshape(-1).astype(np.int32),
         # halo plan, (P*P, H) / (P*L,)
         "send_idx": plan["send_idx"].reshape(-1, plan["send_idx"].shape[-1]),
@@ -122,7 +207,23 @@ def build_distributed(md, jmesh, axis: str = "x"):
         "N_bdry": np.asarray(static.N_bdry),
         "b_min": np.asarray(static.b_min),
     }
+    if mg_plan is not None:
+        c = cells_np.shape[0]
+        # per-shard localization: element entries -> global level-1 slots
+        # (padding cells alias cell 0's slots but carry zero Jacobians)
+        map9_g = np.asarray(mg_plan.map9).reshape(c, 9)
+        payload["mg_map9"] = map9_g[cell_ids].reshape(-1, 9)  # (P*cmax, 9)
+        glob_ids = np.zeros((Pn, L), dtype=np.int64)
+        for p in range(Pn):
+            s = plan["starts"][p]
+            glob_ids[p, :plan["sizes"][p]] = np.arange(s, s + plan["sizes"][p])
+            gl = np.where(plan["g2l"][p] >= plan["omax"])[0]
+            glob_ids[p, plan["g2l"][p][gl]] = gl
+        payload["mg_agg_fine"] = (glob_ids // cfg.mg_agg).astype(
+            np.int32).reshape(-1)                             # (P*L,)
     plan["coarse_m"] = coarse_m
+    plan["mg_plan"] = mg_plan
+    plan["op_meta"] = op_meta
     return payload, plan, cfg
 
 
@@ -142,19 +243,45 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x"):
     scalar_keys = ("N_bdry", "b_min")
 
     coarse_m = plan["coarse_m"]
+    mg_plan = plan["mg_plan"]
+    op_meta = plan["op_meta"]
 
     def body(cells, area, grads, valid, gb0,
              nodes, node_area, z_b, z_s, G, inputs, storage, dirichlet,
-             ell_cols_l, ell_map_l, ell_diag_l, coarse_agg_l,
+             op_l, coarse_agg_l,
              send_idx, send_valid, recv_slot, owned_mask,
+             mg_sharded, mg_rep,
              N_bdry, b_min, state, dts):
         halo = H.Halo(send_idx=send_idx, send_valid=send_valid,
-                      recv_slot=recv_slot, owned_mask=owned_mask, axis=axis)
+                      recv_slot=recv_slot, owned_mask=owned_mask, axis=axis,
+                      omax=int(plan["omax"]))
+        mg_local = None
+        if mg_plan is not None:
+            from shakti_tpu.solve.mg import MGPlan
+            mg_local = MGPlan(map9=mg_sharded["map9"].reshape(-1),
+                              agg_fine=mg_sharded["agg_fine"],
+                              cols=mg_rep[0], diag_slot=mg_rep[1],
+                              next_map=mg_rep[2],
+                              m_c=mg_plan.m_c, agg=mg_plan.agg)
+        fmt = op_meta["format"]
+        op_fields = {}
+        if fmt == "ell":
+            op_fields = dict(ell_cols=op_l["cols"], ell_map=op_l["map"],
+                             ell_diag_slot=op_l["diag"])
+        elif fmt == "bell":
+            op_fields = dict(bell_nbr=op_l["nbr"], bell_map=op_l["map"],
+                             bell_diag_pos=op_l["diag"],
+                             bell_B=op_meta["B"])
+        elif fmt == "bcsr":
+            op_fields = dict(bcsr_brow=op_l["brow"], bcsr_bcol=op_l["bcol"],
+                             bcsr_blk=op_l["blk"], bcsr_off=op_l["off"],
+                             bcsr_diag_blk=op_l["dblk"],
+                             bcsr_diag_off=op_l["doff"],
+                             bcsr_B=op_meta["B"], bcsr_NB=op_meta["NB"])
         lmesh = Mesh(nodes=nodes, cells=cells, area=area, grads=grads,
                      node_area=node_area, cell_valid=valid, halo=halo,
-                     ell_cols=ell_cols_l, ell_map=ell_map_l,
-                     ell_diag_slot=ell_diag_l,
-                     coarse_agg=coarse_agg_l, coarse_m=coarse_m)
+                     coarse_agg=coarse_agg_l, coarse_m=coarse_m,
+                     mg=mg_local, **op_fields)
         lstatic = StaticFields(z_b=z_b, z_s=z_s, G=G, inputs=inputs,
                                storage=storage, gb0=gb0,
                                dirichlet=dirichlet.astype(bool),
@@ -164,7 +291,8 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x"):
 
     sharded = shard_map(
         body, mesh=jmesh,
-        in_specs=(pl,) * 5 + (pl,) * 8 + (pl,) * 4 + (pl,) * 4
+        in_specs=(pl,) * 5 + (pl,) * 8 + (pl, pl) + (pl,) * 4
+                 + (pl, rep)
                  + (rep, rep, pl, rep),
         out_specs=(pl, rep),
     )
@@ -180,13 +308,16 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x"):
             + [ar("nodes", dtype), ar("node_area", dtype), ar("z_b", dtype),
                ar("z_s", dtype), ar("G", dtype), ar("inputs", dtype),
                ar("storage", dtype), ar("dirichlet", dtype)]
-            + [jnp.asarray(payload["ell_cols"]),
-               jnp.asarray(payload["ell_map"]),
-               jnp.asarray(payload["ell_diag"]),
+            + [{k: jnp.asarray(v) for k, v in payload["op"].items()},
                jnp.asarray(payload["coarse_agg"])]
             + [jnp.asarray(payload["send_idx"]),
                jnp.asarray(payload["send_valid"]),
                jnp.asarray(payload["recv_slot"]), ar("owned_mask", dtype)]
+            + [{"map9": jnp.asarray(payload["mg_map9"]),
+                "agg_fine": jnp.asarray(payload["mg_agg_fine"])}
+               if mg_plan is not None else {},
+               (mg_plan.cols, mg_plan.diag_slot, mg_plan.next_map)
+               if mg_plan is not None else ((), (), ())]
             + [ar("N_bdry", dtype), ar("b_min", dtype)])
 
     @jax.jit

@@ -44,6 +44,11 @@ class Halo:
     owned_mask: Any   # (L,) float: 1.0 for owned slots, 0 for ghosts/pad/dump
     axis: str | None = dataclasses.field(default=None,
                                          metadata=dict(static=True))
+    # Owned-slot count (max across shards; ghost slots start here in every
+    # shard's local numbering).  Enables accumulate_split — the
+    # communication/compute-overlapped assembly completion.  None disables.
+    omax: int | None = dataclasses.field(default=None,
+                                         metadata=dict(static=True))
 
     @property
     def n_local(self) -> int:
@@ -74,6 +79,28 @@ class Halo:
         # zero the ghost slots, then push fresh owner values into them
         x = x * self.owned_mask.reshape((-1,) + (1,) * (x.ndim - 1))
         return self.push(x)
+
+    def accumulate_split(self, y_lo, y_hi):
+        """accumulate(concat(y_lo, y_hi)), restructured for communication/
+        compute overlap: the ghost-return all_to_all depends ONLY on the
+        (small) ``y_hi`` piece — rows [split, L) where split = y_lo rows —
+        so XLA's latency-hiding scheduler can run it concurrently with the
+        (large) owned-row compute producing ``y_lo``.  Requires
+        split <= omax (every recv slot lies in the hi piece); bit-identical
+        results to the unsplit accumulate.
+        """
+        split = y_lo.shape[0]
+        P, Hn = self.recv_slot.shape
+        rs = self.recv_slot.reshape((-1,)) - split     # >= 0: ghosts/dump
+        buf = y_hi[rs].reshape((P, Hn) + y_hi.shape[1:])
+        back = jax.lax.all_to_all(buf, self.axis, 0, 0, tiled=True)
+        back = jnp.where(self.send_valid.reshape(
+            self.send_valid.shape + (1,) * (y_hi.ndim - 1)), back, 0.0)
+        y = jnp.concatenate([y_lo, y_hi])
+        y = y.at[self.send_idx.reshape((-1,))].add(
+            back.reshape((-1,) + y.shape[1:]), mode="drop")
+        y = y * self.owned_mask.reshape((-1,) + (1,) * (y.ndim - 1))
+        return self.push(y)
 
     # ------------------------------------------------------------ reductions
     def dot(self, a, b):

@@ -259,18 +259,21 @@ def fold_operator_values(J_c, mesh):
 
 
 def operator_diag_from_values(vals, mesh):
-    """Assembled diagonal of A from folded row-storage values."""
+    """Assembled diagonal of A from folded row-storage values.
+
+    Shard-local row storage (mesh.halo set) holds only this device's cell
+    contributions; the diagonal is completed across partition boundaries
+    with one halo accumulate (any format)."""
     if mesh.bcsr_brow is not None:
         from shakti_tpu.fem import bcsr as bcsrm
-        return bcsrm.bcsr_diag(vals, mesh.bcsr_diag_blk, mesh.bcsr_diag_off)
-    if mesh.bell_nbr is not None:
+        a_diag = bcsrm.bcsr_diag(vals, mesh.bcsr_diag_blk, mesh.bcsr_diag_off)
+    elif mesh.bell_nbr is not None:
         from shakti_tpu.fem import bell as bellm
-        return bellm.bell_diag(vals, mesh.bell_diag_pos)
-    from shakti_tpu.fem import ell as ellm
-    a_diag = ellm.ell_diag(vals, mesh.ell_diag_slot)
+        a_diag = bellm.bell_diag(vals, mesh.bell_diag_pos)
+    else:
+        from shakti_tpu.fem import ell as ellm
+        a_diag = ellm.ell_diag(vals, mesh.ell_diag_slot)
     if mesh.halo is not None:
-        # shard-local ELL rows hold only this device's cell
-        # contributions; complete them across partition boundaries
         a_diag = mesh.halo.accumulate(a_diag)
     return a_diag
 
@@ -286,6 +289,8 @@ def operator_from_values(vals, mesh, dirichlet):
             xf = jnp.where(dirichlet, 0.0, x)
             y = bcsrm.bcsr_matvec(vals, mesh.bcsr_brow, mesh.bcsr_bcol, xf,
                                   n, mesh.bcsr_NB)
+            if mesh.halo is not None:
+                y = mesh.halo.accumulate(y)
             return jnp.where(dirichlet, x, y)
 
         return matvec
@@ -293,6 +298,25 @@ def operator_from_values(vals, mesh, dirichlet):
         import os
         from shakti_tpu.fem import bell as bellm
         use_pallas = os.environ.get("SHAKTI_PALLAS_SPMV", "0") == "1"
+        halo = mesh.halo
+        if halo is not None and halo.omax is not None and not use_pallas:
+            # comm/compute overlap: ghost block-rows first, so the return
+            # all_to_all only waits on the small boundary piece
+            NB, KB, B, _ = vals.shape
+            sB = halo.omax // B
+
+            def matvec(x):
+                xf = jnp.where(dirichlet, 0.0, x)
+                xb = jnp.pad(xf, (0, NB * B - n)).reshape(NB, B)
+                from shakti_tpu.fem.ops import ein
+                y_hi = ein("nkij,nkj->ni", vals[sB:],
+                           xb[mesh.bell_nbr[sB:]]).reshape(-1)
+                y_lo = ein("nkij,nkj->ni", vals[:sB],
+                           xb[mesh.bell_nbr[:sB]]).reshape(-1)
+                y = halo.accumulate_split(y_lo, y_hi[: n - sB * B])
+                return jnp.where(dirichlet, x, y)
+
+            return matvec
 
         def matvec(x):
             xf = jnp.where(dirichlet, 0.0, x)
@@ -301,10 +325,24 @@ def operator_from_values(vals, mesh, dirichlet):
                 y = bell_matvec_pallas(vals, mesh.bell_nbr, xf, n)
             else:
                 y = bellm.bell_matvec(vals, mesh.bell_nbr, xf, n)
+            if mesh.halo is not None:
+                y = mesh.halo.accumulate(y)
             return jnp.where(dirichlet, x, y)
 
         return matvec
     from shakti_tpu.fem import ell as ellm
+    halo = mesh.halo
+    if halo is not None and halo.omax is not None:
+        s = halo.omax
+
+        def matvec(x):
+            xf = jnp.where(dirichlet, 0.0, x)
+            y_hi = ellm.ell_matvec(vals[s:], mesh.ell_cols[s:], xf)
+            y_lo = ellm.ell_matvec(vals[:s], mesh.ell_cols[:s], xf)
+            y = halo.accumulate_split(y_lo, y_hi)
+            return jnp.where(dirichlet, x, y)
+
+        return matvec
 
     def matvec(x):
         xf = jnp.where(dirichlet, 0.0, x)

@@ -1,0 +1,277 @@
+"""Multilevel (aggregation V-cycle) preconditioner: the weak-scaling PC.
+
+The two-level preconditioner (solve/precond.py) carries a single dense
+coarse problem capped at ~1.5k dofs; beyond ~1M dofs its aggregates grow so
+large that mid-frequency smooth error modes fall between the Jacobi smoother
+and the coarse space, and CG counts explode (measured 2.7k-4.6k iters/step
+at 10M dof vs ~6 at 1M — the r2 scaling wall).  This module is the PETSc-MG
+role (the reference gets scalable preconditioning for free from PETSc KSP,
+reference solvers.py:51-54) built TPU-style:
+
+  * hierarchy = contiguous index-range aggregation of the RCB-localized
+    solver ordering (aggregates are spatially compact patches), a factor
+    ``agg`` per level, down to a dense coarse problem <= ``cap`` dofs;
+  * every level's Galerkin operator A_l = P^T A_{l-1} P is assembled ON
+    DEVICE each Newton iteration by one segment-sum through a
+    host-precomputed slot map (level 1 straight from the element Jacobian
+    blocks — the same trick fem/ell.py uses for the fine operator), so the
+    hierarchy tracks the evolving transmissivity field exactly;
+  * the apply is a symmetric V(1,1) cycle (damped-Jacobi smoothing, dense
+    solve at the bottom) — a fixed SPD linear operator, CG-safe;
+  * SPMD (parallel/halo.py meshes): level-1 assembly completes with ONE
+    psum (cells are partitioned disjointly) and the whole coarse hierarchy
+    is replicated — per V-cycle the only communication is the two fine
+    matvecs' halo exchanges and one m1-vector psum in the restriction.
+
+Everything below the fine level is a few hundred KB, so the levels live
+happily as closure constants (see solve/timestep.make_runner note on
+closures vs args).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MGPlan:
+    """Host-precomputed multilevel structure (static sparsity; values are
+    re-assembled on device every Newton iteration).
+
+    ``cols/diag_slot/next_map`` are tuples with one entry per intermediate
+    ELL level (may be empty: then map9 targets the dense coarse directly
+    and the plan degenerates to the two-level method).
+    """
+
+    map9: Any        # (9c,) int32: element-Jacobian entry -> level-1 flat slot
+    agg_fine: Any    # (n|L,) int32: fine node/local slot -> level-1 aggregate
+    cols: Any        # tuple of (m_l, K_l) int32 ELL columns per level
+    diag_slot: Any   # tuple of (m_l,) int32 within-row diagonal slots
+    next_map: Any    # tuple of (m_l*K_l,) int32 slot -> next-level flat slot
+    m_c: int = dataclasses.field(metadata=dict(static=True), default=0)
+    agg: int = dataclasses.field(metadata=dict(static=True), default=16)
+
+
+def _ell_structure(keys: np.ndarray, m: int):
+    """Unique (row, col) pair keys (row * m_cols + col encoding done by the
+    caller) -> ELL structure.  Returns (uniq_key, cols, diag_slot, K,
+    slot_of_uniq) with cols padded by the row's own id (zero-valued slots).
+    """
+    uniq = np.unique(keys)
+    r = (uniq // m).astype(np.int64)
+    c = (uniq % m).astype(np.int32)
+    deg = np.bincount(r, minlength=m)
+    K = max(int(deg.max()) if deg.size else 1, 1)
+    row_start = np.concatenate([[0], np.cumsum(deg)])
+    slot_k = np.arange(uniq.size) - row_start[r]
+    cols = np.broadcast_to(np.arange(m, dtype=np.int32)[:, None],
+                           (m, K)).copy()
+    cols[r, slot_k] = c
+    diag_key = np.arange(m, dtype=np.int64) * (m + 1)
+    pos = np.clip(np.searchsorted(uniq, diag_key), 0, uniq.size - 1)
+    diag_slot = np.where(uniq[pos] == diag_key, slot_k[pos], 0).astype(np.int32)
+    flat_slot = (r * K + slot_k).astype(np.int64)   # flat m*K slot per uniq
+    return uniq, cols, diag_slot, K, flat_slot
+
+
+def build_hierarchy(cells: np.ndarray, n_nodes: int, *, agg: int = 16,
+                    cap: int = 1536,
+                    node_global: np.ndarray | None = None) -> MGPlan | None:
+    """Host-side hierarchy construction.
+
+    ``cells`` index GLOBAL solver-order node ids (for SPMD pass the global
+    cell array once — the coarse structure is shared by all shards).
+    ``node_global``: per-local-slot global node id for SPMD meshes (used
+    only for ``agg_fine``); None = identity (single device).
+
+    Returns None when the mesh is already at/below the dense cap (use the
+    plain two-level preconditioner there).
+    """
+    if n_nodes <= cap:
+        return None
+    ms = [n_nodes]
+    while ms[-1] > cap:
+        ms.append(-(-ms[-1] // agg))
+    # ms = [n, m1, ..., m_c]; intermediate ELL levels are ms[1:-1]
+    m_c = ms[-1]
+    n_lvl = len(ms) - 2            # number of ELL levels
+
+    a3 = (cells.astype(np.int64) // agg)                    # (c, 3) level-1
+    rows9 = np.broadcast_to(a3[:, :, None], a3.shape + (3,)).reshape(-1)
+    cols9 = np.broadcast_to(a3[:, None, :], (a3.shape[0], 3, 3)).reshape(-1)
+
+    cols_t, diag_t, next_t = [], [], []
+    if n_lvl == 0:
+        map9 = (rows9 * m_c + cols9).astype(np.int32)
+    else:
+        m1 = ms[1]
+        keys = rows9 * m1 + cols9
+        uniq, cols_l, diag_l, K, flat_slot = _ell_structure(keys, m1)
+        map9 = flat_slot[np.searchsorted(uniq, keys)].astype(np.int32)
+        cols_t.append(cols_l)
+        diag_t.append(diag_l)
+        # successive Galerkin levels: map this level's (m*K,) slots (pads
+        # included — they carry zero values, so any real target is fine)
+        for l in range(1, n_lvl + 1):
+            m, K = cols_t[-1].shape
+            m_next = ms[l + 1]
+            r_l = np.repeat(np.arange(m, dtype=np.int64), K) // agg
+            c_l = cols_t[-1].reshape(-1).astype(np.int64) // agg
+            if l == n_lvl:                       # next is the dense coarse
+                next_t.append((r_l * m_c + c_l).astype(np.int32))
+            else:
+                keys = r_l * m_next + c_l
+                uniq, cols_l, diag_l, K2, flat_slot = _ell_structure(
+                    keys, m_next)
+                next_t.append(
+                    flat_slot[np.searchsorted(uniq, keys)].astype(np.int32))
+                cols_t.append(cols_l)
+                diag_t.append(diag_l)
+
+    if node_global is None:
+        agg_fine = (np.arange(n_nodes, dtype=np.int64) // agg).astype(np.int32)
+    else:
+        agg_fine = (np.asarray(node_global, dtype=np.int64)
+                    // agg).astype(np.int32)
+
+    return MGPlan(
+        map9=jnp.asarray(map9),
+        agg_fine=jnp.asarray(agg_fine),
+        cols=tuple(jnp.asarray(c) for c in cols_t),
+        diag_slot=tuple(jnp.asarray(d) for d in diag_t),
+        next_map=tuple(jnp.asarray(nm) for nm in next_t),
+        m_c=int(m_c), agg=int(agg),
+    )
+
+
+def assemble_levels(J_c, mesh, dirichlet, plan: MGPlan):
+    """Galerkin level operators of A = -J (free rows/cols only) from the
+    element Jacobian blocks: one segment-sum per level (+ one psum at level
+    1 under SPMD), then the dense coarse inverse."""
+    dtype = J_c.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    free = (~dirichlet).astype(dtype)
+    wc = free[mesh.cells]                                    # (c, 3)
+    w9 = (wc[:, :, None] * wc[:, None, :]).reshape(-1)
+    flat = (-J_c).reshape(-1) * w9
+
+    n_lvl = len(plan.cols)
+    levels = []
+    if n_lvl == 0:
+        A_flat = jax.ops.segment_sum(flat, plan.map9,
+                                     num_segments=plan.m_c * plan.m_c)
+        if mesh.halo is not None:
+            A_flat = jax.lax.psum(A_flat, mesh.halo.axis)
+    else:
+        m1, K1 = plan.cols[0].shape
+        v = jax.ops.segment_sum(flat, plan.map9, num_segments=m1 * K1)
+        if mesh.halo is not None:
+            # cells are disjointly partitioned: one psum completes level 1,
+            # everything below is replicated compute
+            v = jax.lax.psum(v, mesh.halo.axis)
+        for l in range(n_lvl):
+            m, K = plan.cols[l].shape
+            V = v.reshape(m, K)
+            d = V.reshape(-1)[jnp.arange(m) * K + plan.diag_slot[l]]
+            levels.append((V, d))
+            n_next = (plan.m_c * plan.m_c if l == n_lvl - 1
+                      else plan.cols[l + 1].shape[0]
+                      * plan.cols[l + 1].shape[1])
+            v = jax.ops.segment_sum(V.reshape(-1), plan.next_map[l],
+                                    num_segments=n_next)
+        A_flat = v
+    A_c = A_flat.reshape(plan.m_c, plan.m_c)
+    dmean = jnp.mean(jnp.abs(jnp.diag(A_c))) + tiny
+    A_c = A_c + (1e-8 * dmean) * jnp.eye(plan.m_c, dtype=dtype)
+    A_inv = jnp.linalg.inv(A_c)
+    return levels, A_inv
+
+
+def make_multilevel(J_c, mesh, dirichlet, a_diag, matvec, *,
+                    omega: float = 0.8):
+    """Symmetric V(1,1)-cycle preconditioner apply for A = -J.
+
+    ``matvec`` must be the SAME (regularized, Dirichlet-identity) fine
+    operator handed to the Krylov solver, and ``a_diag`` its diagonal —
+    smoothing with the exact operator keeps M symmetric positive definite.
+    Cost per apply: 2 fine matvecs + 2 fine Jacobi sweeps + the (small)
+    coarse hierarchy.
+    """
+    from shakti_tpu.fem.ops import ein
+
+    plan: MGPlan = mesh.mg
+    halo = mesh.halo
+    dtype = a_diag.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    levels, A_inv = assemble_levels(J_c, mesh, dirichlet, plan)
+    agg = plan.agg
+    w = jnp.asarray(omega, dtype)
+
+    d0 = jnp.where(jnp.abs(a_diag) < tiny, 1.0, a_diag)
+    inv_d0 = jnp.where(dirichlet, 0.0, w / d0)
+    if halo is not None:
+        own = halo.owned_mask
+
+    m1 = plan.cols[0].shape[0] if levels else plan.m_c
+    n = a_diag.shape[0]
+
+    if halo is None:
+        # single device: aggregates are contiguous index ranges — restrict/
+        # prolong are a reshape-sum and a repeat, no gather/scatter
+        padf = m1 * agg - n
+
+        def restrict_fine(r):
+            return jnp.pad(r, (0, padf)).reshape(m1, agg).sum(axis=1)
+
+        def prolong_fine(xc):
+            return jnp.repeat(xc, agg)[:n]
+    else:
+        def restrict_fine(r):
+            rc = jax.ops.segment_sum(r * own, plan.agg_fine,
+                                     num_segments=m1)
+            return jax.lax.psum(rc, halo.axis)
+
+        def prolong_fine(xc):
+            # replicated xc + locally-known aggregate ids: consistent on
+            # ghosts by construction, no halo push needed
+            return xc[plan.agg_fine]
+
+    def coarse_solve(r):
+        return ein("ij,j->i", A_inv, r)
+
+    def level_cycle(l, r):
+        """V-cycle on intermediate ELL level l (replicated, all small)."""
+        V, d = levels[l]
+        m, K = plan.cols[l].shape
+        inv_d = w / jnp.where(jnp.abs(d) < tiny, 1.0, d)
+        mv = lambda x: jnp.sum(V * x[plan.cols[l]], axis=1)
+        m_next = plan.m_c if l == len(levels) - 1 else plan.cols[l + 1].shape[0]
+        pad = m_next * agg - m
+
+        def down(rr):
+            rc = jnp.pad(rr, (0, pad)).reshape(m_next, agg).sum(axis=1)
+            xc = (coarse_solve(rc) if l == len(levels) - 1
+                  else level_cycle(l + 1, rc))
+            return jnp.repeat(xc, agg)[:m]
+
+        x = inv_d * r
+        x = x + down(r - mv(x))
+        return x + inv_d * (r - mv(x))
+
+    def apply(r):
+        r0 = jnp.where(dirichlet, 0.0, r)
+        x = inv_d0 * r0
+        rr = r0 - matvec(x)
+        rc = restrict_fine(rr)
+        xc = coarse_solve(rc) if not levels else level_cycle(0, rc)
+        x = x + jnp.where(dirichlet, 0.0, prolong_fine(xc))
+        x = x + inv_d0 * (r0 - matvec(x))
+        return jnp.where(dirichlet, r, x)
+
+    return apply

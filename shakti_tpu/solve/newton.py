@@ -44,7 +44,13 @@ class NewtonConfig:
     lin_maxiter: int = 2000     # Krylov iteration cap
     krylov: str = "cg"          # 'cg' or 'bicgstab'
     quad_degree: int = 4        # quadrature rule (see fem/p1.py)
-    precond: str = "two_level"  # 'jacobi' or 'two_level' (solve/precond.py)
+    # 'jacobi' / 'two_level' (solve/precond.py) / 'mg' (solve/mg.py — the
+    # weak-scaling multilevel V-cycle; the distributed runner auto-selects
+    # it for meshes past the two-level dense-coarse cap)
+    precond: str = "two_level"
+    mg_omega: float = 0.8       # damped-Jacobi smoothing weight (V-cycle)
+    mg_agg: int = 16            # aggregation factor per multilevel level
+    mg_coarse_cap: int = 1536   # dense-coarse size cap for the hierarchy
     # Aggregate size for the two-level coarse grid.  None = auto: resolved
     # at api/model.freeze (single-chip: cap the dense coarse problem at
     # ~1.5k dofs) or parallel/dist.build_distributed (per-shard sizing);
@@ -274,7 +280,8 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
                     else pc.make_jacobi(a_diag, dirichlet, tiny_d))
         else:
             minv = make_preconditioner(cfg.precond, J_c, mesh, dirichlet,
-                                       a_diag, cfg.coarse_block)
+                                       a_diag, cfg.coarse_block,
+                                       matvec=matvec, mg_omega=cfg.mg_omega)
         rhs = r                                             # A dN = F (r == masked F)
         dN, lin_info = lin_solve(matvec, rhs, minv,
                                  rtol=cfg.lin_rtol, atol=0.1 * atol_eff,

@@ -177,9 +177,20 @@ def make_global_two_level(J_c, mesh, dirichlet, a_diag):
 
 
 def make_preconditioner(name: str, J_c, mesh, dirichlet, a_diag,
-                        coarse_block: int = 64):
+                        coarse_block: int = 64, *, matvec=None,
+                        mg_omega: float = 0.8):
     dtype = a_diag.dtype
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    if name == "mg" and mesh.paxis is None:
+        # multilevel V-cycle (solve/mg.py): requires a host-built hierarchy
+        # on the mesh and the exact fine operator for smoothing; falls back
+        # to the two-level/jacobi ladder when either is missing (tiny
+        # meshes degenerate to two_level anyway)
+        if mesh.mg is not None and matvec is not None:
+            from shakti_tpu.solve.mg import make_multilevel
+            return make_multilevel(J_c, mesh, dirichlet, a_diag, matvec,
+                                   omega=mg_omega)
+        name = "two_level"
     if name == "two_level" and mesh.paxis is None:
         if mesh.halo is not None:
             if mesh.coarse_agg is not None:

@@ -78,6 +78,25 @@ def test_halo_push_and_accumulate_semantics():
         np.testing.assert_allclose(out_l[p, plan["g2l"][p][gl]],
                                    expected_owner[gl], rtol=1e-12)
 
+    # the overlapped variant (accumulate_split, comm/compute overlap) must
+    # be bit-identical to the plain accumulate
+    omax = int(plan["omax"])
+
+    def body_split(x, send_idx, send_valid, recv_slot, owned_mask):
+        h = H.Halo(send_idx=send_idx, send_valid=send_valid,
+                   recv_slot=recv_slot, owned_mask=owned_mask, axis="x",
+                   omax=omax)
+        return h.accumulate_split(x[:omax], x[omax:])
+
+    sm2 = shard_map(body_split, mesh=jmesh,
+                    in_specs=(P("x"),) * 5, out_specs=P("x"))
+    out2 = sm2(jnp.asarray(loc),
+               jnp.asarray(plan["send_idx"].reshape(-1, Hs)),
+               jnp.asarray(plan["send_valid"].reshape(-1, Hs)),
+               jnp.asarray(plan["recv_slot"].reshape(-1, Hs)),
+               jnp.asarray(plan["owned_mask"].reshape(-1)))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
 
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_distributed_run_matches_single_device(ndev):
@@ -102,6 +121,35 @@ def test_distributed_run_matches_single_device(ndev):
     np.testing.assert_allclose(np.asarray(s1.b), np.asarray(s2.b), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(s1.q), np.asarray(s2.q),
                                rtol=1e-6, atol=1e-18)
+
+
+@pytest.mark.parametrize("fmt", ["bell", "bcsr"])
+def test_distributed_block_operator_matches_single_device(fmt):
+    """Per-shard block-ELL / block-CSR operators (the MXU SpMV formats,
+    VERDICT r2 item 3) must reproduce the single-device trajectory through
+    the halo path: fold per shard, matvec + halo accumulate per iteration."""
+    md = slab.initialize(nx=16, ny=16, days=2.0, nt_per_day=4)
+    mesh, static, state, cfg0 = md.freeze()
+    dts = timestep_sizes(md.timesteps, dtype=md.dtype)[:5]
+    step1 = make_step_fn(mesh, static, md.params, cfg0)
+    s1, d1 = jax.jit(lambda s, d: run_window(step1, s, d))(state, dts)
+    assert bool(np.asarray(d1["converged"]).all())
+
+    md2 = slab.initialize(nx=16, ny=16, days=2.0, nt_per_day=4)
+    md2.operator = fmt            # force the block format per shard
+    md2.distributed = True
+    jmesh = make_device_mesh(4)
+    runner, st0, plan = make_distributed_runner(md2, jmesh)
+    assert plan["op_meta"]["format"] == fmt
+    s2, d2 = runner(st0, dts)
+    assert bool(np.asarray(d2["converged"]).all())
+    g = gather_state(plan, s2)
+    N1 = md.to_user_order(np.asarray(s1.N))
+    N2 = np.asarray(g.N)[md2.node_iperm]
+    np.testing.assert_allclose(N1, N2, rtol=1e-8)
+    b2 = np.asarray(g.b)[md2.node_iperm]
+    np.testing.assert_allclose(md.to_user_order(np.asarray(s1.b)), b2,
+                               rtol=1e-8)
 
 
 def test_distributed_solve_protocol_matches_single(tmp_path):

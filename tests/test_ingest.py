@@ -141,3 +141,64 @@ def test_setup_cooke2_consumes_real_data_end_to_end(data_dir, monkeypatch):
     out = solve(md, progress=False)
     assert np.isfinite(np.asarray(out["state"].N)).all()
     assert out["steps"] == 6
+
+
+# ---------------------------------------------------------------- contracts
+
+def test_read_grid_transposed_field_autocorrects(tmp_path):
+    """(x, y)-ordered storage is unambiguous when nx != ny: fixed silently."""
+    x = np.linspace(0, 10, 7)
+    y = np.linspace(0, 5, 5)
+    f = np.outer(x, y)                      # (nx, ny): transposed
+    p = tmp_path / "t.nc"
+    _write_grid_h5(p, "bed", "x", "y", x, y, f)
+    gx, gy, gf = ncio.read_grid(str(p), "bed")
+    assert gf.shape == (y.size, x.size)
+    np.testing.assert_allclose(gf, f.T)
+
+
+def test_read_grid_shape_mismatch_raises(tmp_path):
+    x = np.linspace(0, 10, 7)
+    y = np.linspace(0, 5, 5)
+    p = tmp_path / "bad.nc"
+    _write_grid_h5(p, "bed", "x", "y", x, y, np.zeros((9, 9)))
+    with pytest.raises(ValueError, match="does not match axes"):
+        ncio.read_grid(str(p), "bed")
+
+
+def test_read_grid_3d_field_raises(tmp_path):
+    x = np.linspace(0, 10, 7)
+    y = np.linspace(0, 5, 5)
+    p = tmp_path / "b3.nc"
+    _write_grid_h5(p, "bed", "x", "y", x, y, np.zeros((2, 5, 7)))
+    with pytest.raises(ValueError, match="2-D grid"):
+        ncio.read_grid(str(p), "bed")
+
+
+def test_read_bedmachine_wrong_units_raises(tmp_path):
+    """A field whose magnitude cannot be a bed elevation (e.g. reading a
+    packed/int mask by mistake) fails loudly with the product name."""
+    x = np.linspace(0, 10e3, 8)
+    y = np.linspace(0, 10e3, 6)
+    p = tmp_path / "bm.nc"
+    _write_grid_h5(p, "bed", "x", "y", x, y, np.full((6, 8), 123456.0))
+    with pytest.raises(ValueError, match="BedMachine.*plausible range"):
+        ncio.read_bedmachine(str(p))
+
+
+def test_read_aq1_implausible_units_raises(tmp_path):
+    x = np.linspace(0, 10e3, 8)
+    y = np.linspace(0, 10e3, 6)
+    p = tmp_path / "aq.nc"
+    _write_grid_h5(p, "Q", "X", "Y", x, y, np.full((6, 8), 5e4))
+    with pytest.raises(ValueError, match="AQ1.*neither"):
+        ncio.read_aq1(str(p))
+
+
+def test_read_grid_nonmonotonic_axis_raises(tmp_path):
+    x = np.array([0.0, 2.0, 1.0, 3.0])
+    y = np.linspace(0, 5, 5)
+    p = tmp_path / "nm.nc"
+    _write_grid_h5(p, "bed", "x", "y", x, y, np.zeros((5, 4)))
+    with pytest.raises(ValueError, match="monotonic"):
+        ncio.read_grid(str(p), "bed")

@@ -85,3 +85,43 @@ def test_shmip_a1_matches_independent_1d_oracle():
     # at 10 years, SHMIP.md); assert the physical scale, not convergence
     Q_oracle = -p["q_margin"] * 20e3
     assert abs(Q_out - Q_oracle) / Q_oracle < 0.15, (Q_out, Q_oracle)
+
+
+def test_shmip_b_setup_conserves_total_input():
+    """Suite B setup: n equal moulins lump the A5-equivalent 90 m^3/s onto
+    nodes (plus the A1 background) — the total integrated input must be
+    exact regardless of moulin count/positions."""
+    import setups.setup_shmip as shmip
+    from shakti_tpu.mesh.mesh import cell_geometry
+
+    for case, n_m in (("B1", 1), ("B3", 20)):
+        md = shmip.initialize(case, nx=40, ny=8, days=1.0)
+        sa, _ = cell_geometry(md.nodes, md.cells)
+        node_area = np.zeros(md.x.size)
+        np.add.at(node_area, md.cells.reshape(-1), np.repeat(np.abs(sa), 3))
+        total = float((md.inputs * node_area / 3.0).sum())
+        expect = shmip.B_TOTAL_M3S + shmip.CASES_A["A1"] * 100e3 * 20e3
+        assert abs(total - expect) / expect < 1e-6, (case, total, expect)
+
+
+def test_shmip_c_setup_diurnal_forcing():
+    """Suite C setup: B5 moulins + diurnal seasonal_inputs with the SHMIP
+    relative amplitude; the forcing pytree carries the per-step scale."""
+    import setups.setup_shmip as shmip
+    from shakti_tpu.solve.timestep import make_forcing
+
+    md = shmip.initialize("C3", nx=40, ny=8, days=2.0, nt_per_day=24)
+    assert md.seasonal_inputs == (1.0, shmip.DAY_S, 0.0)
+    f = make_forcing(md.timesteps, dtype=md.dtype,
+                     seasonal=md.seasonal_inputs)
+    s = np.asarray(f["inputs_scale"])
+    assert s.min() >= 0.0 and abs(s.max() - 2.0) < 0.05
+    # one full diurnal period per day of steps
+    assert abs(s[:24].argmax() - 6) <= 1      # peak ~1/4 into the day
+
+
+def test_shmip_unknown_case_raises():
+    import pytest
+    import setups.setup_shmip as shmip
+    with pytest.raises(ValueError, match="unknown SHMIP case"):
+        shmip.initialize("D1")
