@@ -231,6 +231,18 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         write_histories()
         write_log()
         ckpt.save_state(rdir, state, nt, row, fingerprint=mesh_fp)
+        import json
+        steps_run = nt - start_step
+        with open(os.path.join(rdir, "run_meta.json"), "w") as f:
+            json.dump({
+                "wall_s": round(wall, 1),
+                "steps": steps_run,
+                "ms_per_step": round(1e3 * wall / max(steps_run, 1), 3),
+                "platform": jax.devices()[0].platform,
+                "dtype": str(np.dtype(md.dtype)),
+                "n_nodes": int(n_nodes),
+                "resumed_from": start_step,
+            }, f, indent=1)
 
     return {
         "state": state,

@@ -64,12 +64,20 @@ def build_bcsr(cells: np.ndarray, n_nodes: int, B: int = 128):
     return brow, bcol, blk_map, off_map, diag_blk, diag_off, NB
 
 
-def bcsr_from_elements(J_c, blk_map, off_map, nnzb: int, B: int):
+def bcsr_from_elements(J_c, blk_map, off_map, nnzb: int, B: int, out=None):
     """Fold element blocks (c, 3, 3) into (nnzb, B, B): one 2-D scatter-add
-    (int32-safe at any mesh size)."""
+    (int32-safe at any mesh size).
+
+    ``out``: an existing values buffer to overwrite (the lagged-operator
+    rebuild path passes the dead carry so XLA can alias its buffer —
+    ``out * 0`` then scatter-add can both run in place, where a fresh
+    ``zeros`` forces carry + new values to be live simultaneously)."""
     flat = J_c.reshape(-1)
-    vals = jnp.zeros((nnzb, B * B), dtype=flat.dtype)
-    vals = vals.at[blk_map, off_map].add(flat)
+    if out is not None:
+        vals = (out.reshape(nnzb, B * B) * 0).at[blk_map, off_map].add(flat)
+    else:
+        vals = jnp.zeros((nnzb, B * B), dtype=flat.dtype)
+        vals = vals.at[blk_map, off_map].add(flat)
     return vals.reshape(nnzb, B, B)
 
 

@@ -77,10 +77,18 @@ def build_block_ell(cells: np.ndarray, n_nodes: int, B: int = BLOCK):
     return nbr, slot_map, diag_pos, KB
 
 
-def bell_from_elements(J_c, slot_map, NB: int, KB: int, B: int = BLOCK):
-    """Fold element blocks (c, 3, 3) into (NB, KB, B, B): one segment-sum."""
+def bell_from_elements(J_c, slot_map, NB: int, KB: int, B: int = BLOCK,
+                       out=None):
+    """Fold element blocks (c, 3, 3) into (NB, KB, B, B): one segment-sum.
+
+    ``out``: dead values buffer to overwrite in place (lagged-operator
+    rebuild; see fem/bcsr.bcsr_from_elements)."""
     flat = J_c.reshape(-1)
-    vals = jax.ops.segment_sum(flat, slot_map, num_segments=NB * KB * B * B)
+    if out is not None:
+        vals = (out.reshape(-1) * 0).at[slot_map].add(flat)
+    else:
+        vals = jax.ops.segment_sum(flat, slot_map,
+                                   num_segments=NB * KB * B * B)
     return vals.reshape(NB, KB, B, B)
 
 

@@ -75,10 +75,16 @@ def build_ell_map(cells: np.ndarray, n_nodes: int):
     return cols, slot_map, diag_slot
 
 
-def ell_from_elements(J_c, slot_map, n_nodes: int, K: int):
-    """Fold element blocks (c, 3, 3) into ELL values (n, K): one segment-sum."""
+def ell_from_elements(J_c, slot_map, n_nodes: int, K: int, out=None):
+    """Fold element blocks (c, 3, 3) into ELL values (n, K): one segment-sum.
+
+    ``out``: dead values buffer to overwrite in place (lagged-operator
+    rebuild; see fem/bcsr.bcsr_from_elements)."""
     flat = J_c.reshape(-1)
-    vals = jax.ops.segment_sum(flat, slot_map, num_segments=n_nodes * K)
+    if out is not None:
+        vals = (out.reshape(-1) * 0).at[slot_map].add(flat)
+    else:
+        vals = jax.ops.segment_sum(flat, slot_map, num_segments=n_nodes * K)
     return vals.reshape(n_nodes, K)
 
 

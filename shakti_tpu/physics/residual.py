@@ -237,24 +237,34 @@ def operator_values_shape(mesh):
     raise ValueError("mesh has no foldable operator structure")
 
 
-def fold_operator_values(J_c, mesh):
+def fold_operator_values(J_c, mesh, out=None):
     """Element blocks -> row-storage values of A = -J in the mesh's
     operator format (BCSR / block-ELL / ELL).  Split from
     :func:`make_operator` so the lagged-operator Newton path
-    (solve/newton.py) can carry folded values across timesteps."""
+    (solve/newton.py) can carry folded values across timesteps.
+
+    ``out``: a DEAD values buffer of the same format to overwrite (the
+    stale carry in the lag rebuild branch) — lets XLA alias it instead of
+    keeping carry + fresh values live simultaneously (the measured OOM at
+    1M dof, NewtonConfig.lag_operator scale caveat)."""
+    # negate the SMALL element blocks (A = -J), not the folded values:
+    # an outer negation of the big values array would allocate yet another
+    # values-sized buffer in the out= reuse path
+    nJ = -J_c
     if mesh.bcsr_brow is not None:
         from shakti_tpu.fem import bcsr as bcsrm
-        return -bcsrm.bcsr_from_elements(J_c, mesh.bcsr_blk, mesh.bcsr_off,
-                                         mesh.bcsr_brow.shape[0], mesh.bcsr_B)
+        return bcsrm.bcsr_from_elements(nJ, mesh.bcsr_blk, mesh.bcsr_off,
+                                        mesh.bcsr_brow.shape[0], mesh.bcsr_B,
+                                        out=out)
     if mesh.bell_nbr is not None:
         from shakti_tpu.fem import bell as bellm
         NB, KB = mesh.bell_nbr.shape
-        return -bellm.bell_from_elements(J_c, mesh.bell_map, NB, KB,
-                                         mesh.bell_B)
+        return bellm.bell_from_elements(nJ, mesh.bell_map, NB, KB,
+                                        mesh.bell_B, out=out)
     if mesh.ell_cols is not None:
         from shakti_tpu.fem import ell as ellm
         n, K = mesh.ell_cols.shape
-        return -ellm.ell_from_elements(J_c, mesh.ell_map, n, K)
+        return ellm.ell_from_elements(nJ, mesh.ell_map, n, K, out=out)
     raise ValueError("mesh has no foldable operator structure")
 
 

@@ -227,10 +227,13 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
     if lag_on and lag is None:
         lag = zero_lag(mesh, N0.dtype, cfg)
 
-    def build_op(N):
+    def build_op(N, stale_vals=None):
         from shakti_tpu.solve import precond as pc
         J_c = res.element_jacobian(N, pre, mesh, params)
-        vals = res.fold_operator_values(J_c, mesh)
+        # overwrite the dead carried values in place (out=) so carry +
+        # fresh values are not live simultaneously — the documented lag
+        # OOM at 1M dof (NewtonConfig.lag_operator scale caveat)
+        vals = res.fold_operator_values(J_c, mesh, out=stale_vals)
         a_diag = res.operator_diag_from_values(vals, mesh)
         A_inv = (pc.coarse_inverse(J_c, mesh, dirichlet, cfg.coarse_block)
                  if use_two_level else None)
@@ -255,8 +258,20 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
             _, _, vals, a_diag, A_inv = op
             matvec0 = res.operator_from_values(vals, mesh, dirichlet)
         elif lag_on:
-            # rebuild at the current iterate and refresh the carry
-            op = build_op(N)
+            # Rebuild at the current iterate and refresh the carry.
+            # Attempted fix for the 2x-values peak liveness (carry + fresh
+            # simultaneously live; documented OOM at 1M dof): fold into the
+            # dead carry via (carry*0).at[map].add(flat) hoping XLA aliases
+            # the buffer — measured WORSE (211 vs 141 MB temp at 90k-dof
+            # BCSR on the CPU backend: the scatter does not alias and loses
+            # segment_sum's efficiency), so the fresh fold stays the
+            # default; SHAKTI_LAG_FOLD_REUSE=1 enables the variant for
+            # per-backend A/B.  The lag carry remains a <=2x-values-memory
+            # feature — use on meshes where HBM allows (NewtonConfig
+            # docstring).
+            import os as _os
+            reuse = _os.environ.get("SHAKTI_LAG_FOLD_REUSE", "0") == "1"
+            op = build_op(N, stale_vals=op[2] if reuse else None)
             _, _, vals, a_diag, A_inv = op
             matvec0 = res.operator_from_values(vals, mesh, dirichlet)
         else:
