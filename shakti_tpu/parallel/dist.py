@@ -142,9 +142,12 @@ def build_distributed(md, jmesh, axis: str = "x"):
     # regime where the single dense coarse stops scaling (r2: 2.7k-4.6k
     # CG iters/step at 10M dof).  Structure is GLOBAL (the coarse levels
     # are replicated); map9/agg_fine are localized per shard below.
+    import os
     from shakti_tpu.solve.mg import build_hierarchy
     mg_plan = None
-    if cfg.precond in ("two_level", "mg"):
+    if os.environ.get("SHAKTI_DIST_MG", "1") == "0":
+        pass    # measurement hook: force the plain global two-level PC
+    elif cfg.precond in ("two_level", "mg"):
         cand = build_hierarchy(cells_np, n, agg=cfg.mg_agg,
                                cap=cfg.mg_coarse_cap)
         if cand is not None and (cfg.precond == "mg" or len(cand.cols) > 0):
