@@ -61,8 +61,14 @@ def main():
     md = ModelSetup(nodes, cells)
     md.distributed = True
     # working-set reductions for the 10M regime: quad degree 2 precompute
-    # (3 points instead of 6); extrapolated guesses stay on
-    md.solver = NewtonConfig(quad_degree=2)
+    # (3 points instead of 6); extrapolated guesses stay on.
+    # SHAKTI_MG_OMEGA / SHAKTI_MG_AGG override the multilevel-PC knobs
+    # for tuning sweeps (scripts/dist_scale_1M*.json records).
+    _d = NewtonConfig()
+    md.solver = NewtonConfig(
+        quad_degree=2,
+        mg_omega=float(os.environ.get("SHAKTI_MG_OMEGA", _d.mg_omega)),
+        mg_agg=int(os.environ.get("SHAKTI_MG_AGG", _d.mg_agg)))
     md.z_b = 0.002 * md.x - 100.0
     md.z_s = md.z_b + 1200.0 + 0.001 * (md.x - nx * h / 2)
     md.G = np.full(md.x.size, 0.06, dtype=np.float32)

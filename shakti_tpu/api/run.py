@@ -154,7 +154,7 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         elif cfg.lag_operator:
             lag = state.lag_op
             ref = state0.lag_op
-            same = (lag is not None
+            same = (lag is not None and len(lag) == len(ref)
                     and all((a is None) == (b is None)
                             and (a is None or np.asarray(a).shape
                                  == np.asarray(b).shape)

@@ -48,8 +48,14 @@ class NewtonConfig:
     # weak-scaling multilevel V-cycle; the distributed runner auto-selects
     # it for meshes past the two-level dense-coarse cap)
     precond: str = "two_level"
-    mg_omega: float = 0.8       # damped-Jacobi smoothing weight (V-cycle)
-    mg_agg: int = 16            # aggregation factor per multilevel level
+    # Multilevel-PC knobs (solve/mg.py).  Tuned on the 1M-dof 8-shard cold
+    # start (total CG over 3 steps, identical Newton counts):
+    # omega 0.67/0.8/0.9/1.0 -> 1225/1128/1090/1492; agg 16/8/4/2 at
+    # omega 0.9 -> 1090/948/710/596.  agg=4 is the default (agg=2 buys
+    # 16% more but doubles the level count — kernel-launch overhead — and
+    # the replicated level-1 storage).
+    mg_omega: float = 0.9       # damped-Jacobi smoothing weight (V-cycle)
+    mg_agg: int = 4             # aggregation factor per multilevel level
     mg_coarse_cap: int = 1536   # dense-coarse size cap for the hierarchy
     # Aggregate size for the two-level coarse grid.  None = auto: resolved
     # at api/model.freeze (single-chip: cap the dense coarse problem at
@@ -144,19 +150,21 @@ class NewtonConfig:
 
 def zero_lag(mesh, dirichlet_dtype, cfg: NewtonConfig):
     """Invalid-but-shape-correct lag_op carry (ok=False, age=0, zero
-    values) for seeding State.lag_op before the first step
+    values/floor) for seeding State.lag_op before the first step
     (see cfg.lag_operator)."""
     from shakti_tpu.physics import residual as res
     dtype = dirichlet_dtype
     vals = jnp.zeros(res.operator_values_shape(mesh), dtype)
     a_diag = jnp.zeros((mesh.n_nodes,), dtype)
+    if cfg.coarse_block is None:
+        cfg = dataclasses.replace(cfg, coarse_block=64)
     if cfg.precond == "two_level" and mesh.paxis is None and mesh.halo is None:
         m = -(-mesh.n_nodes // cfg.coarse_block)
         A_inv = jnp.zeros((m, m), dtype)
     else:
         A_inv = None
     return (jnp.asarray(False), jnp.asarray(0, jnp.int32), vals, a_diag,
-            A_inv)
+            A_inv, jnp.asarray(0.0, dtype))
 
 
 def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
@@ -170,7 +178,7 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
     (collapsed-sheet) directions with sub-floor residuals, so it is never
     accepted without at least one regularized Newton iteration.
 
-    ``lag``: carried operator (ok, vals, a_diag, A_inv) when
+    ``lag``: carried operator (ok, age, vals, a_diag, A_inv, floor) when
     cfg.lag_operator (see there); the updated carry is returned in
     stats["lag"].
 
@@ -195,21 +203,54 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
     Nr = N0 if N_ref is None else jnp.where(dirichlet, dirichlet_value, N_ref)
     tiny = jnp.asarray(jnp.finfo(N0.dtype).tiny, N0.dtype)
     eps = jnp.asarray(jnp.finfo(N0.dtype).eps, N0.dtype)
-    # One batched assembly evaluates the trusted-state residual, the guess
-    # residual, AND the sensitivity probe: residual norms below
+    use_two_level = (cfg.precond == "two_level" and mesh.paxis is None
+                     and mesh.halo is None)
+    lag_on = bool(cfg.lag_operator)
+    if lag_on and lag is None:
+        lag = zero_lag(mesh, N0.dtype, cfg)
+    # Sensitivity-floor probe: residual norms below
     # ||r(N + eps|N|) - r(N)|| cannot be meaningfully reduced by any
     # representable N update (the dominant convergence floor in f32, where
     # N ~ 1e6 Pa has ~0.1 Pa resolution).
     sign = jnp.where(jnp.arange(N0.shape[0]) % 2 == 0, 1.0, -1.0).astype(N0.dtype)
-    cols = res.assemble_residual_multi(
-        jnp.stack([Nr, N0, Nr + eps * jnp.abs(Nr) * sign], axis=1),
-        pre, mesh, params)
-    cols = jnp.where(dirichlet[:, None], 0.0, cols)
-    r_ref = cols[:, 0]
-    r0 = cols[:, 1]
+    import os as _os
+    lag_floor = lag_on and _os.environ.get("SHAKTI_LAG_FLOOR", "0") == "1"
+    if lag_floor:
+        # the floor evolves slowly: carry it with the operator and only
+        # re-assemble the probe on carry-invalid/stale steps (lax.cond —
+        # top-level, NOT inside the while loops: the cond-inside-while
+        # formulation SIGILLs the TPU fusion pass, see make_body).  The
+        # common steady-state step then assembles 2 residual columns
+        # instead of 3.  Measured on the tunnel-attached v5e: the cond's
+        # extra kernel launches cost as much as the saved column (8.2 vs
+        # 7.5 ms/step), so this stays OFF by default there; revisit on
+        # directly-attached hardware where launches are ~10 us.
+        cols = res.assemble_residual_multi(
+            jnp.stack([Nr, N0], axis=1), pre, mesh, params)
+        cols = jnp.where(dirichlet[:, None], 0.0, cols)
+        r_ref = cols[:, 0]
+        r0 = cols[:, 1]
+        carry_ok = lag[0] & (lag[1] <= cfg.lag_max_age)
+
+        def fresh_floor(_):
+            rp = res.assemble_residual(Nr + eps * jnp.abs(Nr) * sign, pre,
+                                       mesh, params)
+            rp = jnp.where(dirichlet, 0.0, rp)
+            return norm(rp - r_ref)
+
+        floor_b = jax.lax.cond(carry_ok, lambda _: lag[5], fresh_floor, None)
+    else:
+        # one batched assembly evaluates the trusted-state residual, the
+        # guess residual AND the probe
+        cols = res.assemble_residual_multi(
+            jnp.stack([Nr, N0, Nr + eps * jnp.abs(Nr) * sign], axis=1),
+            pre, mesh, params)
+        cols = jnp.where(dirichlet[:, None], 0.0, cols)
+        r_ref = cols[:, 0]
+        r0 = cols[:, 1]
+        floor_b = norm(cols[:, 2] - r_ref)
     rnorm_ref = norm(r_ref)
     rnorm0 = norm(r0)
-    floor_b = norm(cols[:, 2] - r_ref)
     atol_eff = jnp.maximum(jnp.asarray(cfg.atol, N0.dtype),
                            cfg.floor_mult * floor_b)
     # nothing to solve: the TRUSTED state already sits at the floor
@@ -220,12 +261,6 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
 
     def converged_fn(rnorm):
         return (rnorm < atol_eff) | (rnorm <= cfg.rtol * rscale)
-
-    use_two_level = (cfg.precond == "two_level" and mesh.paxis is None
-                     and mesh.halo is None)
-    lag_on = bool(cfg.lag_operator)
-    if lag_on and lag is None:
-        lag = zero_lag(mesh, N0.dtype, cfg)
 
     def build_op(N, stale_vals=None):
         from shakti_tpu.solve import precond as pc
@@ -238,7 +273,7 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         A_inv = (pc.coarse_inverse(J_c, mesh, dirichlet, cfg.coarse_block)
                  if use_two_level else None)
         return (jnp.asarray(True), jnp.asarray(0, jnp.int32), vals, a_diag,
-                A_inv)
+                A_inv, floor_b)
 
     def cond(s):
         N, r, rnorm, N_best, rn_best, stall, k, cg_total, bad, done, op = s
@@ -255,7 +290,7 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         N, r, rnorm, N_best, rn_best, stall, k, cg_total, bad, done, op = s
         if reuse_op:
             # iteration 0 under cfg.lag_operator: the carried operator
-            _, _, vals, a_diag, A_inv = op
+            _, _, vals, a_diag, A_inv, _ = op
             matvec0 = res.operator_from_values(vals, mesh, dirichlet)
         elif lag_on:
             # Rebuild at the current iterate and refresh the carry.
@@ -272,7 +307,7 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
             import os as _os
             reuse = _os.environ.get("SHAKTI_LAG_FOLD_REUSE", "0") == "1"
             op = build_op(N, stale_vals=op[2] if reuse else None)
-            _, _, vals, a_diag, A_inv = op
+            _, _, vals, a_diag, A_inv, _ = op
             matvec0 = res.operator_from_values(vals, mesh, dirichlet)
         else:
             J_c = res.element_jacobian(N, pre, mesh, params)

@@ -115,7 +115,7 @@ def test_lagged_operator_matches_plain_newton():
         if lag:
             # the carry is live: ok flag set, age bounded by the refresh
             # cap, values finite and nonzero
-            ok, age, vals, a_diag, A_inv = s.lag_op
+            ok, age, vals, a_diag, A_inv, floor = s.lag_op
             assert bool(np.asarray(ok))
             assert int(np.asarray(age)) <= c.lag_max_age + 1
             assert float(np.abs(np.asarray(vals)).max()) > 0
