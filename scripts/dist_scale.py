@@ -68,7 +68,11 @@ def main():
     md.solver = NewtonConfig(
         quad_degree=2,
         mg_omega=float(os.environ.get("SHAKTI_MG_OMEGA", _d.mg_omega)),
-        mg_agg=int(os.environ.get("SHAKTI_MG_AGG", _d.mg_agg)))
+        mg_agg=int(os.environ.get("SHAKTI_MG_AGG", _d.mg_agg)),
+        mg_smoother=os.environ.get("SHAKTI_MG_SMOOTHER", _d.mg_smoother),
+        mg_cheb_deg=int(os.environ.get("SHAKTI_MG_CHEB_DEG", _d.mg_cheb_deg)),
+        mg_cheb_frac=float(os.environ.get("SHAKTI_MG_CHEB_FRAC",
+                                          _d.mg_cheb_frac)))
     md.z_b = 0.002 * md.x - 100.0
     md.z_s = md.z_b + 1200.0 + 0.001 * (md.x - nx * h / 2)
     md.G = np.full(md.x.size, 0.06, dtype=np.float32)

@@ -57,6 +57,13 @@ class NewtonConfig:
     mg_omega: float = 0.9       # damped-Jacobi smoothing weight (V-cycle)
     mg_agg: int = 4             # aggregation factor per multilevel level
     mg_coarse_cap: int = 1536   # dense-coarse size cap for the hierarchy
+    # V-cycle smoother: "jacobi" (one damped sweep, 2 fine matvecs per
+    # apply) or "cheb" (degree-mg_cheb_deg Chebyshev on
+    # [mg_cheb_frac*lmax, lmax] with a free Gershgorin lmax bound,
+    # 2*mg_cheb_deg fine matvecs per apply) — see solve/mg.py
+    mg_smoother: str = "jacobi"
+    mg_cheb_deg: int = 2
+    mg_cheb_frac: float = 0.25
     # Aggregate size for the two-level coarse grid.  None = auto: resolved
     # at api/model.freeze (single-chip: cap the dense coarse problem at
     # ~1.5k dofs) or parallel/dist.build_distributed (per-shard sizing);
@@ -331,7 +338,10 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         else:
             minv = make_preconditioner(cfg.precond, J_c, mesh, dirichlet,
                                        a_diag, cfg.coarse_block,
-                                       matvec=matvec, mg_omega=cfg.mg_omega)
+                                       matvec=matvec, mg_omega=cfg.mg_omega,
+                                       mg_smoother=cfg.mg_smoother,
+                                       mg_cheb_deg=cfg.mg_cheb_deg,
+                                       mg_cheb_frac=cfg.mg_cheb_frac)
         rhs = r                                             # A dN = F (r == masked F)
         dN, lin_info = lin_solve(matvec, rhs, minv,
                                  rtol=cfg.lin_rtol, atol=0.1 * atol_eff,

@@ -132,6 +132,54 @@ def test_mg_degenerates_gracefully_on_tiny_mesh():
     assert bool(np.asarray(d["converged"]).all())
 
 
+def test_mg_cheb_smoother_matches_jacobi_solution():
+    """smoother='cheb' (degree-2 Chebyshev sweeps) must converge to the
+    same trajectory as the damped-Jacobi V-cycle, without blowing up the
+    CG iteration count (the Gershgorin lmax bound must be safe)."""
+    outs = {}
+    for sm in ("jacobi", "cheb"):
+        md = _problem(nx=40, ny=40, precond="mg", mg_agg=4,
+                      mg_coarse_cap=16, mg_smoother=sm)
+        mesh, static, state, cfg = md.freeze()
+        assert mesh.mg is not None
+        step = make_step_fn(mesh, static, md.params, cfg)
+        dts = timestep_sizes(md.timesteps, dtype=md.dtype)[:3]
+        s, d = jax.jit(lambda a, b: run_window(step, a, b))(state, dts)
+        assert bool(np.asarray(d["converged"]).all()), sm
+        outs[sm] = (md.to_user_order(np.asarray(s.N)),
+                    int(np.asarray(d["cg_iters"]).sum()))
+    np.testing.assert_allclose(outs["cheb"][0], outs["jacobi"][0], rtol=1e-7)
+    assert outs["cheb"][1] <= 1.5 * outs["jacobi"][1], outs
+
+
+def test_distributed_mg_cheb_matches_single_device():
+    """The halo-path Chebyshev V-cycle (psum'd offabs assembly, pmax'd
+    Gershgorin bound) must reproduce the single-device cheb trajectory."""
+    from shakti_tpu.parallel.dist import gather_state, make_distributed_runner
+    from shakti_tpu.parallel.shard import make_device_mesh
+
+    def build():
+        return _problem(nx=32, ny=32, precond="mg", mg_agg=4,
+                        mg_coarse_cap=16, mg_smoother="cheb")
+
+    md1 = build()
+    mesh, static, state, cfg = md1.freeze()
+    step = make_step_fn(mesh, static, md1.params, cfg)
+    dts = timestep_sizes(md1.timesteps, dtype=md1.dtype)[:3]
+    s1, d1 = jax.jit(lambda a, b: run_window(step, a, b))(state, dts)
+    assert bool(np.asarray(d1["converged"]).all())
+    N1 = md1.to_user_order(np.asarray(s1.N))
+
+    md2 = build()
+    md2.distributed = True
+    runner, st0, plan = make_distributed_runner(md2, make_device_mesh(4))
+    s2, d2 = runner(st0, dts)
+    assert bool(np.asarray(d2["converged"]).all())
+    g = gather_state(plan, s2)
+    N2 = np.asarray(g.N)[md2.node_iperm]
+    np.testing.assert_allclose(N1, N2, rtol=1e-8)
+
+
 @pytest.mark.parametrize("ndev", [4])
 def test_distributed_mg_matches_single_device(ndev):
     """The halo-path multilevel PC (psum'd level-1 assembly, replicated
