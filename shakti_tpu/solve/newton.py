@@ -57,13 +57,22 @@ class NewtonConfig:
     mg_omega: float = 0.9       # damped-Jacobi smoothing weight (V-cycle)
     mg_agg: int = 4             # aggregation factor per multilevel level
     mg_coarse_cap: int = 1536   # dense-coarse size cap for the hierarchy
-    # V-cycle smoother: "jacobi" (one damped sweep, 2 fine matvecs per
-    # apply) or "cheb" (degree-mg_cheb_deg Chebyshev on
+    # V-cycle smoother: "cheb" (degree-mg_cheb_deg Chebyshev on
     # [mg_cheb_frac*lmax, lmax] with a free Gershgorin lmax bound,
-    # 2*mg_cheb_deg fine matvecs per apply) — see solve/mg.py
-    mg_smoother: str = "jacobi"
+    # 2*mg_cheb_deg fine matvecs per apply) or "jacobi" (one damped
+    # omega-sweep, 2 fine matvecs per apply) — see solve/mg.py.  Swept on
+    # the same 1M cold start (total CG / wall s per step): jacobi 710/77;
+    # cheb d2 frac .35/.25/.15/.10/.05 -> 635/605/568/548/535, wall
+    # 69.5/71.6/66.0/61.1/61.8; d3 frac .25 -> 536 CG but 99 s (the extra
+    # matvecs outrun the iteration cut).  d2/f0.10 is the default: -23%
+    # CG and -21% wall vs tuned jacobi, flat below f0.10.  Caveat: each
+    # PC apply trades coarse-hierarchy visits + psums + launches (fewer
+    # iterations) for 2 extra fine matvecs (more HBM traffic) — wins on
+    # both measurable backends here; on a pod-attached part re-A/B with
+    # SHAKTI_MG_SMOOTHER if fine-matvec bandwidth dominates.
+    mg_smoother: str = "cheb"
     mg_cheb_deg: int = 2
-    mg_cheb_frac: float = 0.25
+    mg_cheb_frac: float = 0.10
     # Aggregate size for the two-level coarse grid.  None = auto: resolved
     # at api/model.freeze (single-chip: cap the dense coarse problem at
     # ~1.5k dofs) or parallel/dist.build_distributed (per-shard sizing);
