@@ -85,6 +85,13 @@ def build_bench_model():
     from shakti_tpu.solve.newton import NewtonConfig
     lag = os.environ.get("SHAKTI_LAG_OPERATOR", "1") == "1"
     md.solver = NewtonConfig(lag_operator=lag)
+    # A/B knobs (default untouched): operator format / block size
+    opf = os.environ.get("SHAKTI_BENCH_OPERATOR")
+    if opf:
+        md.operator = opf
+    blk = os.environ.get("SHAKTI_BENCH_BLOCK")
+    if blk:
+        md.operator_block = int(blk)
     return md
 
 

@@ -1,4 +1,4 @@
-"""SHMIP validation artifact: suites A, B, C (VERDICT r1 item 8 + r2 item 5).
+"""SHMIP validation artifact: suites A-F (VERDICT r1 item 8 + r2 item 5).
 
 Suite A (A1/A3/A5, distributed input): long-horizon CPU f64 transients vs
 the INDEPENDENT 1D steady oracle (oracle/shmip_oracle.py — scipy shooting
@@ -15,9 +15,21 @@ Suite C (C1-C4, diurnal forcing on B5): window-mean-N oscillation
 amplitude must grow monotonically with the forcing amplitude Ra and
 oscillate about the B5 steady value.
 
-Writes SHMIP.md + scripts/shmip_results.json.
+Suite D (D1-D5, seasonal degree-day forcing): melt-season amplitude of
+the window-mean N must grow monotonically with the temperature offset dT,
+and the winter state must return to the A1 (background-only) branch.
 
-    python scripts/shmip_validate.py [--quick]
+Suite E (E1-E5, valley glacier, bed overdeepening ladder): steady
+conservation on the para-independent footprint; mean N reported overall
+and in the overdeepened trough band.
+
+Suite F (F1-F5, seasonal forcing on the E1 valley): amplitude of the
+glacier-mean N monotone in dT.
+
+Results are cached per-suite in scripts/shmip_results.json; SHMIP.md is
+regenerated from the cache, so suites can be (re)run selectively:
+
+    python scripts/shmip_validate.py [--quick] [--suites ABCDEF]
 """
 
 import json
@@ -38,10 +50,12 @@ from oracle.shmip_oracle import steady_profile
 
 import setups.setup_shmip as shmip
 from shakti_tpu.solve import diagnostics as diag
-from shakti_tpu.solve.timestep import (make_step_fn, run_window,
-                                       timestep_sizes)
+from shakti_tpu.solve.timestep import (make_forcing, make_step_fn,
+                                       run_window, timestep_sizes)
 
 WINDOW = (30e3, 90e3)
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(ROOT, "scripts", "shmip_results.json")
 
 
 def run_case(case, years, nx=60, ny=12, nt_per_day=4):
@@ -115,8 +129,6 @@ def run_c_case(case, state_b5, days=10, nt_per_day=48):
 
     import jax.numpy as jnp
 
-    from shakti_tpu.solve.timestep import make_forcing
-
     md = shmip.initialize(case, nx=60, ny=12, days=days,
                           nt_per_day=nt_per_day)
     mesh, static, state0, cfg = md.freeze()
@@ -156,60 +168,90 @@ def run_c_case(case, state_b5, days=10, nt_per_day=48):
     }
 
 
-def main(quick=False):
+def run_seasonal_case(case, spin_years, nt_per_day=4, sample_days=10,
+                      **init_kw):
+    """Suites D/F: degree-day seasonal forcing.  Spin ``spin_years`` then
+    sample the final year's window-mean N at ``sample_days`` cadence.
+    Returns (md, state, samples, conv, Q_out, Q_src)."""
+    years = spin_years + 1
+    md = shmip.initialize(case, days=365 * years, nt_per_day=nt_per_day,
+                          **init_kw)
+    mesh, static, state, cfg = md.freeze()
+    step = make_step_fn(mesh, static, md.params, cfg)
+    forcing = make_forcing(md.timesteps, dtype=md.dtype,
+                           degree_day=md.degree_day)
+    runner = jax.jit(lambda s, f: run_window(step, s, f))
+    take = lambda i, j: jax.tree_util.tree_map(lambda a: a[i:j], forcing)
+    nt = md.timesteps.size
+    W = 365 * nt_per_day
+    i0 = spin_years * W
+    conv = True
+    if case.startswith("F"):
+        win = np.ones(md.x.size, dtype=bool)      # glacier mean
+    else:
+        win = (md.x > WINDOW[0]) & (md.x < WINDOW[1])
+    state, dstep = runner(state, take(0, i0))
+    conv = conv and bool(np.asarray(dstep["converged"]).all())
+    samples = []
+    Wd = sample_days * nt_per_day
+    for k in range(i0, nt, Wd):
+        state, dstep = runner(state, take(k, min(k + Wd, nt)))
+        conv = conv and bool(np.asarray(dstep["converged"]).all())
+        samples.append(float(np.asarray(state.N)[win].mean()))
+    Q_out = diag.boundary_discharge(mesh, static, state, md.params)
+    Q_src = diag.water_production(mesh, static, state, md.params)
+    return md, state, np.array(samples), conv, Q_out, Q_src
+
+
+def run_e_case(case, years=1.0, nt_per_day=24, resolution=75.0):
+    """Suite E: valley glacier, steady input; run to (near) steady state
+    with hourly steps (the violent cold start needs them), checking
+    steadiness by the relative change over the final 30 days."""
+    md = shmip.initialize(case, days=365 * years, nt_per_day=nt_per_day,
+                          resolution=resolution)
+    mesh, static, state, cfg = md.freeze()
+    step = make_step_fn(mesh, static, md.params, cfg)
+    dts = timestep_sizes(md.timesteps, dtype=md.dtype)
+    runner = jax.jit(lambda s, d: run_window(step, s, d))
+    nt = dts.shape[0]
+    i0 = nt - 30 * nt_per_day
+    conv = True
+    state, dstep = runner(state, dts[:i0])
+    conv = conv and bool(np.asarray(dstep["converged"]).all())
+    N_before = np.asarray(state.N).copy()
+    state, dstep = runner(state, dts[i0:])
+    conv = conv and bool(np.asarray(dstep["converged"]).all())
+    N_after = np.asarray(state.N)
+    steady_rel = float(np.linalg.norm(N_after - N_before)
+                       / np.linalg.norm(N_after))
+    Q_out = diag.boundary_discharge(mesh, static, state, md.params)
+    Q_src = diag.water_production(mesh, static, state, md.params)
+    return md, state, steady_rel, conv, Q_out, Q_src
+
+
+# ---------------------------------------------------------------- suites
+
+def suite_A(out, quick):
     plans = [("A1", 3 if quick else 10), ("A3", 2 if quick else 10),
              ("A5", 2 if quick else 12)]
-    out = {}
-    lines = [
-        "# SHMIP validation (suites A, B, C)",
-        "",
-        "## Suite A (distributed input)",
-        "",
-        "Framework (2D transient, CPU f64, 60x12 rectangle) vs the",
-        "independent 1D steady oracle (`oracle/shmip_oracle.py`, scipy",
-        "shooting) over the interior window x in [30, 90] km, plus exact",
-        "global mass conservation (`solve/diagnostics.py`).",
-        "",
-        "| case | input [m/s] | years | relN (window) | relb (window) | "
-        "y-spread @50km | Q_out [m^3/s] | Q_src [m^3/s] | imbalance |",
-        "|---|---|---|---|---|---|---|---|---|",
-    ]
-    A5_md = A5_state = None
+    A5 = None
     for case, years in plans:
         t0 = time.time()
         md, state, p, yearly, Q_out, Q_src = run_case(case, years)
         if case == "A5":
-            A5_md, A5_state = md, state
-        last = yearly[-1]
+            A5 = (md, state)
         imb = abs(Q_out - Q_src) / max(abs(Q_src), 1e-30)
-        out[case] = {"years": years, "yearly": yearly,
-                     "Q_out": Q_out, "Q_src": Q_src,
+        out[case] = {"input_ms": shmip.CASES_A[case], "years": years,
+                     "yearly": yearly, "Q_out": Q_out, "Q_src": Q_src,
                      "Q_oracle": float(-p["q_margin"] * 20e3),
                      "imbalance": imb,
                      "wall_s": round(time.time() - t0, 1)}
-        lines.append(
-            f"| {case} | {shmip.CASES_A[case]:.3g} | {years} "
-            f"| {last['relN_win']:.2e} | {last['relb_win']:.2e} "
-            f"| {last['yspread_50km']:.3f} "
-            f"| {Q_out:.3f} | {Q_src:.3f} | {imb:.1e} |")
         print(f"{case}: {json.dumps(out[case]['yearly'][-1])}", flush=True)
+    return A5
 
-    # ---- suite B: moulin inputs (A1 background + 90 m^3/s via moulins) ----
-    lines += [
-        "",
-        "## Suite B (moulins)",
-        "",
-        "n equal-rate moulins summing to the A5-equivalent 90 m^3/s, on the",
-        "A1 distributed background (seeded-uniform positions — SHMIP's",
-        "coordinate files are not redistributable; the metrics below are",
-        "position-robust).  `relN(B, A5)` compares the y-averaged window",
-        "N profile against the A5 distributed run: the many-moulins limit",
-        "(B5) must approach the distributed case.",
-        "",
-        "| case | moulins | window mean N [MPa] | relN(B, A5) | "
-        "Q_out [m^3/s] | Q_src [m^3/s] | imbalance |",
-        "|---|---|---|---|---|---|---|",
-    ]
+
+def suite_B(out, quick, A5):
+    A5_md, A5_state = A5
     xs_a5, prof_a5 = ymean_profile(A5_md, np.asarray(A5_state.N))
     win_x = (xs_a5 > WINDOW[0]) & (xs_a5 < WINDOW[1])
     b_years = 2 if quick else 5
@@ -225,16 +267,131 @@ def main(quick=False):
         imb = abs(Q_out - Q_src) / max(abs(Q_src), 1e-30)
         win = (md.x > WINDOW[0]) & (md.x < WINDOW[1])
         out[case] = {"moulins": shmip.CASES_B[case], "years": b_years,
+                     "winN_MPa": float(np.asarray(state.N)[win].mean() / 1e6),
                      "relN_vs_A5": relA5, "Q_out": Q_out, "Q_src": Q_src,
                      "imbalance": imb, "converged": conv,
                      "wall_s": round(time.time() - t0, 1)}
-        lines.append(
-            f"| {case} | {shmip.CASES_B[case]} "
-            f"| {np.asarray(state.N)[win].mean() / 1e6:.3f} | {relA5:.3f} "
-            f"| {Q_out:.3f} | {Q_src:.3f} | {imb:.1e} |")
         print(f"{case}: {json.dumps(out[case])}", flush=True)
+    return B5_state
 
-    # ---- suite C: diurnal forcing of B5 ----
+
+def suite_C(out, quick, B5_state):
+    amps = []
+    c_days = 6 if quick else 10
+    for case in ("C1", "C2", "C3", "C4"):
+        t0 = time.time()
+        md, m = run_c_case(case, B5_state, days=c_days)
+        m["wall_s"] = round(time.time() - t0, 1)
+        out[case] = m
+        amps.append(m["N_amp_MPa"])
+        print(f"{case}: {json.dumps(m)}", flush=True)
+    out["C_amplitude_monotonic"] = bool(np.all(np.diff(amps) > 0))
+
+
+def suite_D(out, quick):
+    spin = 1 if quick else 3
+    amps = []
+    for case in ("D1", "D2", "D3", "D4", "D5"):
+        t0 = time.time()
+        md, state, samples, conv, Q_out, Q_src = run_seasonal_case(
+            case, spin_years=spin)
+        imb = abs(Q_out - Q_src) / max(abs(Q_src), 1e-30)
+        m = {"dT": shmip.CASES_D[case], "spin_years": spin,
+             "N_winter_MPa": float(samples.max() / 1e6),
+             "N_summer_min_MPa": float(samples.min() / 1e6),
+             "N_amp_MPa": float((samples.max() - samples.min()) / 1e6),
+             "Q_out": Q_out, "Q_src": Q_src, "imbalance": imb,
+             "converged": conv, "wall_s": round(time.time() - t0, 1)}
+        out[case] = m
+        amps.append(m["N_amp_MPa"])
+        print(f"{case}: {json.dumps(m)}", flush=True)
+    out["D_amplitude_monotonic"] = bool(np.all(np.diff(amps) > 0))
+
+
+def suite_E(out, quick):
+    years = 0.5 if quick else 1.0
+    for case in ("E1", "E2", "E3", "E4", "E5"):
+        t0 = time.time()
+        md, state, steady_rel, conv, Q_out, Q_src = run_e_case(
+            case, years=years)
+        N = np.asarray(state.N)
+        trough = (md.x > 2e3) & (md.x < 4e3)
+        imb = abs(Q_out - Q_src) / max(abs(Q_src), 1e-30)
+        m = {"para": shmip.CASES_E[case], "n_nodes": int(md.x.size),
+             "N_mean_MPa": float(N.mean() / 1e6),
+             "N_trough_MPa": float(N[trough].mean() / 1e6),
+             "b_trough_mm": float(np.asarray(state.b)[trough].mean() * 1e3),
+             "steady_rel_30d": steady_rel,
+             "Q_out": Q_out, "Q_src": Q_src, "imbalance": imb,
+             "converged": conv, "wall_s": round(time.time() - t0, 1)}
+        out[case] = m
+        print(f"{case}: {json.dumps(m)}", flush=True)
+
+
+def suite_F(out, quick):
+    spin = 0 if quick else 1
+    amps = []
+    for case in ("F1", "F2", "F3", "F4", "F5"):
+        t0 = time.time()
+        md, state, samples, conv, Q_out, Q_src = run_seasonal_case(
+            case, spin_years=spin, nt_per_day=24)
+        m = {"dT": shmip.CASES_F[case],
+             "N_winter_MPa": float(samples.max() / 1e6),
+             "N_summer_min_MPa": float(samples.min() / 1e6),
+             "N_amp_MPa": float((samples.max() - samples.min()) / 1e6),
+             "converged": conv, "wall_s": round(time.time() - t0, 1)}
+        out[case] = m
+        amps.append(m["N_amp_MPa"])
+        print(f"{case}: {json.dumps(m)}", flush=True)
+    out["F_amplitude_monotonic"] = bool(np.all(np.diff(amps) > 0))
+
+
+# ------------------------------------------------------------- markdown
+
+def build_md(out):
+    g = lambda c, k: out[c][k]
+    lines = [
+        "# SHMIP validation (suites A-F)",
+        "",
+        "## Suite A (distributed input)",
+        "",
+        "Framework (2D transient, CPU f64, 60x12 rectangle) vs the",
+        "independent 1D steady oracle (`oracle/shmip_oracle.py`, scipy",
+        "shooting) over the interior window x in [30, 90] km, plus exact",
+        "global mass conservation (`solve/diagnostics.py`).",
+        "",
+        "| case | input [m/s] | years | relN (window) | relb (window) | "
+        "y-spread @50km | Q_out [m^3/s] | Q_src [m^3/s] | imbalance |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for c in ("A1", "A3", "A5"):
+        last = out[c]["yearly"][-1]
+        lines.append(
+            f"| {c} | {shmip.CASES_A[c]:.3g} | {g(c, 'years')} "
+            f"| {last['relN_win']:.2e} | {last['relb_win']:.2e} "
+            f"| {last['yspread_50km']:.3f} "
+            f"| {g(c, 'Q_out'):.3f} | {g(c, 'Q_src'):.3f} "
+            f"| {g(c, 'imbalance'):.1e} |")
+    lines += [
+        "",
+        "## Suite B (moulins)",
+        "",
+        "n equal-rate moulins summing to the A5-equivalent 90 m^3/s, on the",
+        "A1 distributed background (seeded-uniform positions — SHMIP's",
+        "coordinate files are not redistributable; the metrics below are",
+        "position-robust).  `relN(B, A5)` compares the y-averaged window",
+        "N profile against the A5 distributed run: the many-moulins limit",
+        "(B5) must approach the distributed case.",
+        "",
+        "| case | moulins | window mean N [MPa] | relN(B, A5) | "
+        "Q_out [m^3/s] | Q_src [m^3/s] | imbalance |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for c in ("B1", "B2", "B3", "B4", "B5"):
+        lines.append(
+            f"| {c} | {g(c, 'moulins')} | {g(c, 'winN_MPa'):.3f} "
+            f"| {g(c, 'relN_vs_A5'):.3f} | {g(c, 'Q_out'):.3f} "
+            f"| {g(c, 'Q_src'):.3f} | {g(c, 'imbalance'):.1e} |")
     lines += [
         "",
         "## Suite C (diurnal forcing)",
@@ -250,21 +407,84 @@ def main(quick=False):
         "| case | Ra | cycle-mean N [MPa] | N amplitude [MPa] |",
         "|---|---|---|---|",
     ]
-    amps = []
-    c_days = 6 if quick else 10
-    for case in ("C1", "C2", "C3", "C4"):
-        t0 = time.time()
-        md, m = run_c_case(case, B5_state, days=c_days)
-        m["wall_s"] = round(time.time() - t0, 1)
-        out[case] = m
-        amps.append(m["N_amp_MPa"])
-        lines.append(f"| {case} | {m['Ra']} | {m['N_mean_cycle'] / 1e6:.3f} "
-                     f"| {m['N_amp_MPa']:.3f} |")
-        print(f"{case}: {json.dumps(m)}", flush=True)
-    mono = bool(np.all(np.diff(amps) > 0))
+    for c in ("C1", "C2", "C3", "C4"):
+        lines.append(f"| {c} | {g(c, 'Ra')} "
+                     f"| {g(c, 'N_mean_cycle') / 1e6:.3f} "
+                     f"| {g(c, 'N_amp_MPa'):.3f} |")
     lines.append("")
-    lines.append(f"Amplitude monotonic in Ra: **{mono}**.")
-    out["C_amplitude_monotonic"] = mono
+    lines.append("Amplitude monotonic in Ra: "
+                 f"**{out['C_amplitude_monotonic']}**.")
+    if "D5" in out:
+        lines += [
+            "",
+            "## Suite D (seasonal degree-day forcing)",
+            "",
+            "A1 background + the SHMIP degree-day runoff model (sea-level",
+            "temperature -5 - 16 cos(2 pi t/yr) + dT degC, lapse 0.0075 K/m,",
+            "DDF 0.01 m/(K day)) on the suite-A topography, spun up "
+            f"{out['D3']['spin_years']} years then sampled over the final",
+            "year at 10-day cadence.  Warmer offsets must deepen the summer",
+            "N minimum and widen the seasonal swing; the winter maximum",
+            "must return to the (A1-like) background branch.",
+            "",
+            "| case | dT [K] | winter max N [MPa] | summer min N [MPa] | "
+            "N amplitude [MPa] | imbalance (winter) |",
+            "|---|---|---|---|---|---|",
+        ]
+        for c in ("D1", "D2", "D3", "D4", "D5"):
+            lines.append(
+                f"| {c} | {g(c, 'dT'):+.0f} | {g(c, 'N_winter_MPa'):.3f} "
+                f"| {g(c, 'N_summer_min_MPa'):.3f} "
+                f"| {g(c, 'N_amp_MPa'):.3f} | {g(c, 'imbalance'):.1e} |")
+        lines.append("")
+        lines.append("Amplitude monotonic in dT: "
+                     f"**{out['D_amplitude_monotonic']}**.")
+    if "E5" in out:
+        lines += [
+            "",
+            "## Suite E (valley glacier, overdeepening ladder)",
+            "",
+            "The 6 km SHMIP 'bench' valley at 75 m resolution "
+            f"({out['E1']['n_nodes']} nodes), steady input "
+            f"{shmip.E_INPUT:.3g} m/s, hourly steps to steady state",
+            "(steadiness = rel change of N over the final 30 days).  The",
+            "footprint is para-independent by construction; para < 0.05",
+            "carves a mid-glacier overdeepening (trough band x in",
+            "[2, 4] km).  The adverse bed slope suppresses the efficient",
+            "drainage: the water sheet in the trough thickens and local N",
+            "drops toward zero as the overdeepening grows.",
+            "",
+            "| case | para | mean N [MPa] | trough N [MPa] | "
+            "trough b [mm] | steady rel | Q_out [m^3/s] | imbalance |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for c in ("E1", "E2", "E3", "E4", "E5"):
+            lines.append(
+                f"| {c} | {g(c, 'para'):+.2f} | {g(c, 'N_mean_MPa'):.3f} "
+                f"| {g(c, 'N_trough_MPa'):.3f} | {g(c, 'b_trough_mm'):.2f} "
+                f"| {g(c, 'steady_rel_30d'):.1e} | {g(c, 'Q_out'):.3f} "
+                f"| {g(c, 'imbalance'):.1e} |")
+    if "F5" in out:
+        lines += [
+            "",
+            "## Suite F (seasonal forcing on the E1 valley)",
+            "",
+            "The suite-D degree-day model on the E1 valley geometry (A1",
+            "basal background), hourly steps, final-year glacier-mean N",
+            "sampled at 10-day cadence.",
+            "",
+            "| case | dT [K] | winter max N [MPa] | summer min N [MPa] | "
+            "N amplitude [MPa] |",
+            "|---|---|---|---|---|",
+        ]
+        for c in ("F1", "F2", "F3", "F4", "F5"):
+            lines.append(
+                f"| {c} | {g(c, 'dT'):+.0f} | {g(c, 'N_winter_MPa'):.3f} "
+                f"| {g(c, 'N_summer_min_MPa'):.3f} "
+                f"| {g(c, 'N_amp_MPa'):.3f} |")
+        lines.append("")
+        lines.append("Amplitude monotonic in dT: "
+                     f"**{out['F_amplitude_monotonic']}**.")
     lines += [
         "",
         "## Reading (suite A)",
@@ -287,16 +507,52 @@ def main(quick=False):
         "per-model mean-N profiles that differ across the 13 participating",
         "models by factors of several; without the distribution files the",
         "oracle above (same physics, independent discretization) is the",
-        "sharper check.  This artifact is regenerated by",
-        "`python scripts/shmip_validate.py`.",
+        "sharper check.  Suite D/F forcing and the suite-E valley geometry",
+        "are implemented from the published description (constants in",
+        "setups/setup_shmip.py); the conservation and monotone-response",
+        "checks used are robust to the remaining free choices.  This",
+        "artifact is regenerated per suite by",
+        "`python scripts/shmip_validate.py --suites ABCDEF`.",
     ]
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SHMIP.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    with open(os.path.join(root, "scripts", "shmip_results.json"), "w") as f:
+    return lines
+
+
+def main(quick=False, suites="ABCDEF"):
+    out = {}
+    if os.path.exists(CACHE):
+        out = json.load(open(CACHE))
+    A5 = B5_state = None
+    if "A" in suites:
+        A5 = suite_A(out, quick)
+    if "B" in suites:
+        if A5 is None:
+            raise SystemExit("suite B needs suite A in the same invocation "
+                             "(A5 state); use --suites AB...")
+        B5_state = suite_B(out, quick, A5)
+    if "C" in suites:
+        if B5_state is None:
+            raise SystemExit("suite C needs suite B in the same invocation "
+                             "(B5 state); use --suites ABC...")
+        suite_C(out, quick, B5_state)
+    if "D" in suites:
+        suite_D(out, quick)
+    if "E" in suites:
+        suite_E(out, quick)
+    if "F" in suites:
+        suite_F(out, quick)
+    with open(os.path.join(ROOT, "SHMIP.md"), "w") as f:
+        f.write("\n".join(build_md(out)) + "\n")
+    with open(CACHE, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote SHMIP.md + scripts/shmip_results.json")
 
 
 if __name__ == "__main__":
-    main(quick="--quick" in sys.argv)
+    quick = "--quick" in sys.argv
+    suites = "ABCDEF"
+    for i, a in enumerate(sys.argv):
+        if a == "--suites":
+            suites = sys.argv[i + 1]
+        elif a.startswith("--suites="):
+            suites = a.split("=", 1)[1]
+    main(quick=quick, suites=suites)

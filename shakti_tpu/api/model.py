@@ -87,6 +87,11 @@ class ModelSetup:
         # phase) -> inputs * max(0, 1 + A sin(2 pi t/T + phase)) per step
         # (a capability beyond the reference's static inputs)
         self.seasonal_inputs = None
+        # optional degree-day elevation-band melt added to `inputs`:
+        # dict(dT=..., ddf=..., lapse=..., t_mean=..., t_amp=..., period=...)
+        # -> inputs + max(0, DDF (T_0(t) - lapse z_s)) per step (the SHMIP
+        # suite-D/F seasonal runoff model; see solve/timestep.make_forcing)
+        self.degree_day = None
 
         # solver configuration (new: the reference hardcodes PETSc defaults).
         # adaptive_dt_levels=1: one in-graph dt-halving retry when a step's

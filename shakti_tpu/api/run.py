@@ -65,7 +65,8 @@ def solve(md, *, resume: bool = False, progress: bool = True):
     nt_save = int(md.nt_save) if md.nt_save else 1
     nt_check = int(md.nt_check) if md.nt_check else max(nt_save * 50, nt_save)
     forcing = make_forcing(timesteps, dtype=md.dtype,
-                           seasonal=getattr(md, 'seasonal_inputs', None))
+                           seasonal=getattr(md, 'seasonal_inputs', None),
+                           degree_day=getattr(md, 'degree_day', None))
     n_saves = -(-nt // nt_save)          # saves at i = 0, nt_save, 2 nt_save, ...
     n_nodes = md.nodes.shape[0]
     state = None

@@ -74,6 +74,9 @@ def static_quad_fields(mesh, static, quad_degree: int, dtype):
         "G_q": at_q(static.G),
         "inputs_q": at_q(static.inputs),
         "storage_q": at_q(static.storage),
+        # surface elevation at quad points: consumed by the degree-day
+        # elevation-band melt forcing (solve/timestep.step, SHMIP D/F)
+        "zs_q": at_q(static.z_s),
     }
 
 

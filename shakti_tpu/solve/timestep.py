@@ -106,15 +106,27 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
 
     def step(state: State, forcing):
         # ``forcing`` is a plain dt scalar, or a dict with 'dt' and optional
-        # per-step scalars ('inputs_scale' for seasonal/meltwater forcing —
-        # a capability the reference lacks: its inputs are static Functions,
+        # per-step scalars ('inputs_scale' for seasonal/meltwater forcing,
+        # 'melt_a'/'melt_b' for elevation-band degree-day melt — capabilities
+        # the reference lacks: its inputs are static Functions,
         # model_setup.py:47).
         if isinstance(forcing, dict):
             dt = forcing["dt"]
             scale = forcing.get("inputs_scale")
+            melt_a = forcing.get("melt_a")
         else:
-            dt, scale = forcing, None
-        sq_t = dict(sq, inputs_q=sq["inputs_q"] * scale) if scale is not None \
+            dt, scale, melt_a = forcing, None, None
+        inputs_q = sq["inputs_q"]
+        if scale is not None:
+            inputs_q = inputs_q * scale
+        if melt_a is not None:
+            # degree-day surface melt routed to the bed: at surface elevation
+            # z the melt rate is max(0, A(t) - B z) with A = DDF * T_0(t) and
+            # B = DDF * lapse (SHMIP suites D/F forcing model,
+            # de Fleurian et al. 2018 §3.1.4); added to the static inputs
+            inputs_q = inputs_q + jnp.maximum(
+                0.0, melt_a - forcing["melt_b"] * sq["zs_q"])
+        sq_t = dict(sq, inputs_q=inputs_q) if inputs_q is not sq["inputs_q"] \
             else sq
         # ---- 1. implicit solve for N (b, q, melt frozen; N_n = state.N) ----
         pre = res.precompute_step(mesh, state.N, state.b, state.q, state.melt,
@@ -285,19 +297,37 @@ def timestep_sizes(timesteps, dtype=None):
     return jnp.asarray(dts, dtype=dtype)
 
 
-def make_forcing(timesteps, dtype=None, seasonal=None):
+def make_forcing(timesteps, dtype=None, seasonal=None, degree_day=None):
     """Per-step forcing pytree for run_window.
 
     ``seasonal`` = (amplitude, period_s, phase) modulates the meltwater
     input field per step: inputs * max(0, 1 + A sin(2 pi t/T + phase))
     (BASELINE configs[1] 'seasonal melt forcing'; the reference's inputs
     are time-independent).
+
+    ``degree_day`` = dict(dT, ddf, lapse, t_mean, t_amp, period) adds an
+    elevation-band melt max(0, DDF (t_mean + t_amp cos(2 pi t/T) + dT
+    - lapse z_s)) to the inputs per step — the SHMIP suite-D/F seasonal
+    runoff model (de Fleurian et al. 2018 §3.1.4; defaults are the
+    published constants: DDF 0.01 m/(K day), lapse 0.0075 K/m, sea-level
+    temperature -5 - 16 cos(2 pi t/yr) degC + case offset dT).
     """
     import numpy as np
     f = {"dt": timestep_sizes(timesteps, dtype)}
+    t64 = np.asarray(timesteps, dtype=np.float64)
     if seasonal is not None:
         amp, period, phase = seasonal
-        t = jnp.asarray(np.asarray(timesteps, dtype=np.float64), dtype=dtype)
+        t = jnp.asarray(t64, dtype=dtype)
         f["inputs_scale"] = jnp.maximum(
             0.0, 1.0 + amp * jnp.sin(2.0 * jnp.pi * t / period + phase))
+    if degree_day is not None:
+        dd = dict(degree_day)
+        ddf = dd.get("ddf", 0.01 / 86400.0)
+        lapse = dd.get("lapse", 0.0075)
+        period = dd.get("period", 3.154e7)
+        temp = (dd.get("t_mean", -5.0)
+                + dd.get("t_amp", -16.0) * np.cos(2.0 * np.pi * t64 / period)
+                + dd.get("dT", 0.0))
+        f["melt_a"] = jnp.asarray(ddf * temp, dtype=dtype)
+        f["melt_b"] = jnp.full(t64.shape, ddf * lapse, dtype=dtype)
     return f

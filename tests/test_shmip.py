@@ -124,4 +124,88 @@ def test_shmip_unknown_case_raises():
     import pytest
     import setups.setup_shmip as shmip
     with pytest.raises(ValueError, match="unknown SHMIP case"):
-        shmip.initialize("D1")
+        shmip.initialize("Z9")
+
+
+def test_shmip_d_degree_day_forcing():
+    """Suite D setup: the degree-day forcing arrays follow the published
+    model — zero melt mid-winter, positive sea-level melt mid-summer,
+    melt shut off above the seasonal snowline (lapse), and the warmer
+    offset strictly increasing the summer melt."""
+    import setups.setup_shmip as shmip
+    from shakti_tpu.solve.timestep import make_forcing
+
+    md = shmip.initialize("D3", nx=40, ny=8, days=365.0, nt_per_day=1)
+    assert md.degree_day == {"dT": 0.0}
+    f = make_forcing(md.timesteps, dtype=md.dtype, degree_day=md.degree_day)
+    a = np.asarray(f["melt_a"], dtype=np.float64)
+    b = np.asarray(f["melt_b"], dtype=np.float64)
+    ddf = 0.01 / 86400.0
+    # mid-winter (t=0): T = -21 C -> no melt anywhere
+    assert a[0] < 0.0
+    # mid-summer (t ~ half year): T = +11 C -> sea-level melt 0.11 m/day
+    mid = len(a) // 2
+    assert abs(a[mid] - ddf * 11.0) / (ddf * 11.0) < 0.01
+    # snowline at z = T/lapse ~ 1467 m mid-summer
+    z_line = a[mid] / b[mid]
+    assert 1300.0 < z_line < 1600.0
+    # warmer offset -> strictly larger summer melt
+    f5 = make_forcing(md.timesteps, dtype=md.dtype, degree_day={"dT": 4.0})
+    assert float(np.asarray(f5["melt_a"])[mid]) > float(a[mid])
+    # and the melt actually reaches the step: a 3-day mid-summer run with
+    # the D5 forcing draws down N vs the unforced (winter-branch) run
+    md3 = shmip.initialize("D5", nx=40, ny=8, days=3.0, nt_per_day=24)
+    mesh, static, state, cfg = md3.freeze()
+    from shakti_tpu.solve.timestep import make_step_fn, run_window
+    step = make_step_fn(mesh, static, md3.params, cfg)
+    f_on = make_forcing(md3.timesteps, dtype=md3.dtype,
+                        degree_day={"dT": 4.0, "t_amp": 16.0})  # summer phase
+    f_off = make_forcing(md3.timesteps, dtype=md3.dtype)
+    s_on, d_on = jax.jit(lambda s, f: run_window(step, s, f))(state, f_on)
+    s_off, d_off = jax.jit(lambda s, f: run_window(step, s, f))(state, f_off)
+    assert bool(np.asarray(d_on["converged"]).all())
+    assert not np.allclose(np.asarray(s_on.b), np.asarray(s_off.b))
+    assert float(np.asarray(s_on.b).mean()) > float(np.asarray(s_off.b).mean())
+
+
+def test_shmip_valley_geometry():
+    """Suite E valley: the glacier footprint is para-independent (the bed
+    reaches the fixed surface at the same wall position for every para),
+    the overdeepening deepens monotonically with decreasing para, and the
+    footprint mesh is usable."""
+    import setups.setup_shmip as shmip
+
+    x = np.linspace(100.0, 5800.0, 20)
+    w = shmip.valley_half_width(x)
+    s = shmip.valley_surface(x)
+    for para in (0.05, 0.0, -0.5):
+        bed_wall = shmip.valley_bed(x, w, para)
+        np.testing.assert_allclose(bed_wall, s, rtol=1e-9)
+    # center-line bed strictly deepens with decreasing para mid-glacier
+    beds = [shmip.valley_bed(3000.0, 0.0, p) for p in (0.05, 0.0, -0.5, -0.7)]
+    assert np.all(np.diff(beds) < 0.0), beds
+    # E2..E5 carve a genuine overdeepening (local bed minimum below the
+    # terminus level); E1 does not
+    xs = np.linspace(0.0, 6000.0, 200)
+    assert shmip.valley_bed(xs, 0.0, -0.5).min() < -100.0
+    assert shmip.valley_bed(xs, 0.0, 0.05).min() >= 0.0
+    md = shmip.initialize("E1", days=1.0, nt_per_day=24, resolution=150.0)
+    assert md.x.size > 200
+    assert md.z_s.min() >= md.z_b.min()
+    assert len(md.dirichlet_nodes()) >= 2      # terminus outflow nodes
+
+
+def test_shmip_f_valley_seasonal_runs():
+    """Suite F: a short winter-phase run on the valley with the seasonal
+    degree-day forcing converges (melt is off mid-winter, so this also
+    pins the valley cold-start robustness at hourly steps)."""
+    import setups.setup_shmip as shmip
+    from shakti_tpu.solve.timestep import make_forcing, make_step_fn, run_window
+
+    md = shmip.initialize("F3", days=2.0, nt_per_day=24, resolution=150.0)
+    mesh, static, state, cfg = md.freeze()
+    step = make_step_fn(mesh, static, md.params, cfg)
+    f = make_forcing(md.timesteps, dtype=md.dtype, degree_day=md.degree_day)
+    s, d = jax.jit(lambda a, b: run_window(step, a, b))(state, f)
+    assert bool(np.asarray(d["converged"]).all())
+    assert np.isfinite(np.asarray(s.N)).all()
