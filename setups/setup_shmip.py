@@ -156,6 +156,9 @@ def initialize(case: str = "A3", *, nx=100, ny=20, days=365.0, nt_per_day=4,
         para = CASES_E[case] if case in CASES_E else PARA_BENCH
         md.z_b = valley_bed(md.x, md.y, para)
         md.z_s = np.maximum(valley_surface(md.x), md.z_b + 1.0)
+        # the valley pinches to ~zero thickness at terminus/walls: cap the
+        # gap at the ice column or b runs away there (ModelSetup.b_cap)
+        md.b_cap = "thickness"
     else:
         md.z_b = np.zeros(md.x.size)
         md.z_s = surface(md.x)

@@ -69,6 +69,15 @@ class ModelSetup:
         self.lake_bdry = np.zeros(n)
         self.N_bdry = 0.0
         self.b_min = 1.0e-5
+        # optional gap-height upper bound: None (reference semantics,
+        # unbounded), "thickness" (cap at the local ice column z_s - z_b),
+        # or an (n,) array.  Needed on domains that pinch to ~zero ice
+        # thickness (SHMIP valley terminus): with the Dirichlet N pinned at
+        # a ~1 m overburden, closure cannot balance the concentrated
+        # dissipation melt and b grows past the ice thickness itself
+        # (measured: b -> 22 m -> NaN on suite E1); the cap keeps the gap
+        # physical (it cannot exceed the ice column) and the run bounded.
+        self.b_cap = None
 
         # lake outline: (k, 2) polygon array (NaN rows delimit multipolygons)
         self.outline = None
@@ -241,9 +250,17 @@ class ModelSetup:
             else np.zeros(0, dtype=np.int64)
         dmask = geo.dirichlet_mask(n, dnodes)
         storage = self.lake_bdry if self.storage_on else np.zeros(n)
+        b_cap = getattr(self, "b_cap", None)
+        if isinstance(b_cap, str):
+            if b_cap != "thickness":
+                raise ValueError(f"b_cap must be None, 'thickness', or an "
+                                 f"array, got {b_cap!r}")
+            b_cap = np.maximum(np.asarray(self.z_s) - np.asarray(self.z_b),
+                               self.b_min)
         static = make_static_fields(
             mesh, p(self.z_b), p(self.z_s), p(self.G), p(self.inputs),
-            p(storage), dmask, self.N_bdry, self.b_min, self.params)
+            p(storage), dmask, self.N_bdry, self.b_min, self.params,
+            b_max=None if b_cap is None else p(b_cap))
         f = lambda a: jnp.asarray(p(a), dtype=self.dtype)
         state0 = State(N=f(self.N_init), b=f(self.b_init),
                        q=f(self.q_init), melt=f(self.melt_init),

@@ -73,10 +73,19 @@ class StaticFields:
     dirichlet: Any  # (n,) bool outflow-Dirichlet mask (empty if outflow_on=False)
     N_bdry: Any     # scalar Dirichlet value [Pa]
     b_min: Any      # scalar gap-height floor [m]
+    # optional (n,) upper bound on b (None = unbounded, the reference
+    # semantics).  Physical regularization for domains that pinch to zero
+    # ice thickness (e.g. the SHMIP valley terminus/head): where the
+    # Dirichlet N is pinned at a ~1 m overburden, closure cannot balance
+    # the concentrated dissipation melt and b grows without bound past the
+    # ice thickness itself — capping b at the local ice column keeps the
+    # gap physical and the run bounded (see ModelSetup.b_cap).
+    b_max: Any = None
 
 
 def make_static_fields(mesh, z_b, z_s, G, inputs, storage, dirichlet_mask,
-                       N_bdry, b_min, params: PhysicalParams) -> StaticFields:
+                       N_bdry, b_min, params: PhysicalParams,
+                       b_max=None) -> StaticFields:
     dtype = mesh.nodes.dtype
     as_f = lambda x: jnp.asarray(x, dtype=dtype)
     gb0 = law.background_head_gradient(
@@ -86,6 +95,7 @@ def make_static_fields(mesh, z_b, z_s, G, inputs, storage, dirichlet_mask,
         storage=as_f(storage), gb0=gb0,
         dirichlet=jnp.asarray(dirichlet_mask, dtype=bool),
         N_bdry=as_f(N_bdry), b_min=as_f(b_min),
+        b_max=None if b_max is None else as_f(b_max),
     )
 
 
@@ -190,6 +200,9 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
 
         # ---- 5. clamp (reference solvers.py:194-197) ----
         b = jnp.maximum(b, static.b_min)
+        if static.b_max is not None:
+            # optional ice-thickness cap (see StaticFields.b_max)
+            b = jnp.minimum(b, static.b_max)
 
         new_state = State(N=N, b=b, q=q, melt=melt, N_prev=state.N,
                           lag_op=lag_out)
