@@ -225,7 +225,8 @@ def _make_cheb(matvec, inv_d, lmax, deg: int, frac: float, dtype):
 
 def make_multilevel(J_c, mesh, dirichlet, a_diag, matvec, *,
                     omega: float = 0.8, smoother: str = "jacobi",
-                    cheb_deg: int = 2, cheb_frac: float = 0.25):
+                    cheb_deg: int = 2, cheb_frac: float = 0.25,
+                    cycle: str = "v"):
     """Symmetric V(1,1)-cycle preconditioner apply for A = -J.
 
     ``matvec`` must be the SAME (regularized, Dirichlet-identity) fine
@@ -242,6 +243,24 @@ def make_multilevel(J_c, mesh, dirichlet, a_diag, matvec, *,
     where inter-element contributions cancel), divided by the regularized
     diagonal — adding the same positive regularization to numerator and
     denominator only shrinks the ratio, so the bound stays safe.
+
+    ``cycle="w"`` upgrades every coarse-level solve from one recursive
+    application to a symmetric double correction, B_W = 2B - B A B
+    (equivalently: apply the level cycle, then apply it again to the
+    remaining level residual).  This is the standard gamma=2 W-cycle, the
+    textbook fix for plain (unsmoothed) aggregation hierarchies whose
+    V-cycle convergence degrades with depth (Notay's AGMG lineage uses
+    K-cycles for the same reason; the stationary double correction keeps
+    the apply a FIXED SPD linear operator, so plain CG stays valid —
+    B symmetric with spec(AB) in (0,1] gives spec(A B_W) = l(2-l) in
+    (0,1]).  Cost: level l is visited 2^l times, but level sizes shrink
+    by agg^l >= 4^l, so the extra work is a geometric tail ~n/2^l of
+    REPLICATED small-level compute with zero additional communication —
+    the fine-level cost (smoothing matvecs, the one restriction psum) is
+    unchanged.  Caveat for launch-bound backends: kernel count per apply
+    grows ~2x per level (deep 10M hierarchies: ~6 levels -> ~60 extra
+    small-kernel launches), which is noise on a pod but measurable
+    through the dev tunnel.
     """
     from shakti_tpu.fem.ops import ein
 
@@ -305,19 +324,34 @@ def make_multilevel(J_c, mesh, dirichlet, a_diag, matvec, *,
     def coarse_solve(r):
         return ein("ij,j->i", A_inv, r)
 
+    gamma = 2 if cycle == "w" else 1
+
+    def level_mv(l):
+        V, _ = levels[l]
+        return lambda x: jnp.sum(V * x[plan.cols[l]], axis=1)
+
+    def solve_level(l, r):
+        """gamma-cycle solve at ELL level l (dense coarse at l == len)."""
+        if l == len(levels):
+            return coarse_solve(r)
+        x = level_cycle(l, r)
+        if gamma == 2:
+            # second stationary correction: B_W = 2B - BAB (see docstring)
+            x = x + level_cycle(l, r - level_mv(l)(x))
+        return x
+
     def level_cycle(l, r):
         """V-cycle on intermediate ELL level l (replicated, all small)."""
         V, d = levels[l]
         m, K = plan.cols[l].shape
         d_safe = jnp.where(jnp.abs(d) < tiny, 1.0, d)
-        mv = lambda x: jnp.sum(V * x[plan.cols[l]], axis=1)
+        mv = level_mv(l)
         m_next = plan.m_c if l == len(levels) - 1 else plan.cols[l + 1].shape[0]
         pad = m_next * agg - m
 
         def down(rr):
             rc = jnp.pad(rr, (0, pad)).reshape(m_next, agg).sum(axis=1)
-            xc = (coarse_solve(rc) if l == len(levels) - 1
-                  else level_cycle(l + 1, rc))
+            xc = solve_level(l + 1, rc)
             return jnp.repeat(xc, agg)[:m]
 
         if cheb:
@@ -340,7 +374,7 @@ def make_multilevel(J_c, mesh, dirichlet, a_diag, matvec, *,
         x = smooth0(None, r0, True) if cheb else inv_d0 * r0
         rr = r0 - matvec(x)
         rc = restrict_fine(rr)
-        xc = coarse_solve(rc) if not levels else level_cycle(0, rc)
+        xc = solve_level(0, rc)
         x = x + jnp.where(dirichlet, 0.0, prolong_fine(xc))
         x = (smooth0(x, r0, False) if cheb
              else x + inv_d0 * (r0 - matvec(x)))

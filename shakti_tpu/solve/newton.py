@@ -73,6 +73,11 @@ class NewtonConfig:
     mg_smoother: str = "cheb"
     mg_cheb_deg: int = 2
     mg_cheb_frac: float = 0.10
+    # "v" or "w": W-cycle = symmetric double correction at every coarse
+    # level (2B - BAB, still a fixed SPD operator — CG-safe); the plain-
+    # aggregation depth fix, at geometric extra replicated-compute cost
+    # and ~2x-per-level kernel count.  See solve/mg.py:make_multilevel.
+    mg_cycle: str = "v"
     # Aggregate size for the two-level coarse grid.  None = auto: resolved
     # at api/model.freeze (single-chip: cap the dense coarse problem at
     # ~1.5k dofs) or parallel/dist.build_distributed (per-shard sizing);
@@ -350,7 +355,8 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
                                        matvec=matvec, mg_omega=cfg.mg_omega,
                                        mg_smoother=cfg.mg_smoother,
                                        mg_cheb_deg=cfg.mg_cheb_deg,
-                                       mg_cheb_frac=cfg.mg_cheb_frac)
+                                       mg_cheb_frac=cfg.mg_cheb_frac,
+                                       mg_cycle=cfg.mg_cycle)
         rhs = r                                             # A dN = F (r == masked F)
         dN, lin_info = lin_solve(matvec, rhs, minv,
                                  rtol=cfg.lin_rtol, atol=0.1 * atol_eff,

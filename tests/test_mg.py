@@ -152,6 +152,27 @@ def test_mg_cheb_smoother_matches_jacobi_solution():
     assert outs["cheb"][1] <= 1.5 * outs["jacobi"][1], outs
 
 
+def test_mg_wcycle_matches_vcycle_solution():
+    """cycle='w' (symmetric double correction per coarse level) must reach
+    the same trajectory as the V-cycle without costing more CG iterations
+    (the W-cycle is a strictly stronger coarse solve; equality is allowed —
+    at shallow hierarchies the V-cycle is already near-exact)."""
+    outs = {}
+    for cyc in ("v", "w"):
+        md = _problem(nx=40, ny=40, precond="mg", mg_agg=4,
+                      mg_coarse_cap=16, mg_cycle=cyc)
+        mesh, static, state, cfg = md.freeze()
+        assert mesh.mg is not None and len(mesh.mg.cols) >= 2
+        step = make_step_fn(mesh, static, md.params, cfg)
+        dts = timestep_sizes(md.timesteps, dtype=md.dtype)[:3]
+        s, d = jax.jit(lambda a, b: run_window(step, a, b))(state, dts)
+        assert bool(np.asarray(d["converged"]).all()), cyc
+        outs[cyc] = (md.to_user_order(np.asarray(s.N)),
+                     int(np.asarray(d["cg_iters"]).sum()))
+    np.testing.assert_allclose(outs["w"][0], outs["v"][0], rtol=1e-7)
+    assert outs["w"][1] <= outs["v"][1] + 2, outs
+
+
 def test_distributed_mg_cheb_matches_single_device():
     """The halo-path Chebyshev V-cycle (psum'd offabs assembly, pmax'd
     Gershgorin bound) must reproduce the single-device cheb trajectory."""
