@@ -133,8 +133,10 @@ def main():
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(result))
+    tag = (f"{round(n_target / 1e6)}M" if n_target >= 1e6
+           else f"{round(n_target / 1e3)}k")
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       f"dist_scale_{round(n_target / 1e6)}M.json")
+                       f"dist_scale_{tag}.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     return 0 if conv else 1

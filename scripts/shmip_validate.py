@@ -224,8 +224,12 @@ def run_e_case(case, years=1.0, nt_per_day=24, resolution=75.0):
     N_after = np.asarray(state.N)
     steady_rel = float(np.linalg.norm(N_after - N_before)
                        / np.linalg.norm(N_after))
-    Q_out = diag.boundary_discharge(mesh, static, state, md.params)
-    Q_src = diag.water_production(mesh, static, state, md.params)
+    # valley budget needs the certified (frozen-field re-solved) identity:
+    # the thickness-capped terminus rows turn per-step gap flicker into
+    # O(100 m^3/s) of reaction junk otherwise (see diag.certified_budget)
+    Q_out, Q_src, info = diag.certified_budget(mesh, static, state,
+                                               md.params, cfg)
+    conv = conv and info["converged"]
     return md, state, steady_rel, conv, Q_out, Q_src
 
 
@@ -453,6 +457,21 @@ def build_md(out):
             "[2, 4] km).  The adverse bed slope suppresses the efficient",
             "drainage: the water sheet in the trough thickens and local N",
             "drops toward zero as the overdeepening grows.",
+            "",
+            "Valley regularization: SHMIP's p_w = 0 terminus BC leaves",
+            "N ~ 9 kPa at the ~1 m snout, so creep closure never balances",
+            "SHAKTI's dissipation opening and the sheet gap grows without",
+            "bound (capped only at the ice column it reaches 45-210 m and",
+            "E4/E5/F diverge in the year-2 winter reorganization).  All",
+            "valley cases cap the gap at min(ice column, 0.5 m) — the",
+            "sheet approximation is not meaningful beyond decimeter gaps",
+            "(setups/setup_shmip.py VALLEY_B_CAP); with it every E and F",
+            "case integrates stably through multi-year seasonal cycles.",
+            "Budgets below use the certified frozen-field identity",
+            "(solve/diagnostics.certified_budget): the transient leaves N",
+            "converged against the pre-update gap field, and the capped",
+            "terminus rows amplify that per-step flicker into O(100 m^3/s)",
+            "of reaction junk if evaluated naively.",
             "",
             "| case | para | mean N [MPa] | trough N [MPa] | "
             "trough b [mm] | steady rel | Q_out [m^3/s] | imbalance |",

@@ -68,6 +68,7 @@ CASES_E = {"E1": 0.05, "E2": 0.0, "E3": -0.1, "E4": -0.5, "E5": -0.7}
 E_INPUT = 1.158e-6          # [m/s] suite-E steady distributed input
 VALLEY_LEN = 6e3
 PARA_BENCH = 0.05
+VALLEY_B_CAP = 0.5          # [m] valley sheet-gap cap (see initialize)
 
 # Suite F: the suite-D seasonal runoff model applied to the E1 valley
 # geometry (same dT ladder), on the A1 basal background.
@@ -156,9 +157,17 @@ def initialize(case: str = "A3", *, nx=100, ny=20, days=365.0, nt_per_day=4,
         para = CASES_E[case] if case in CASES_E else PARA_BENCH
         md.z_b = valley_bed(md.x, md.y, para)
         md.z_s = np.maximum(valley_surface(md.x), md.z_b + 1.0)
-        # the valley pinches to ~zero thickness at terminus/walls: cap the
-        # gap at the ice column or b runs away there (ModelSetup.b_cap)
-        md.b_cap = "thickness"
+        # Sheet-gap regularization for the valley: SHMIP prescribes p_w=0
+        # at the ~1 m terminus, so N ~ 9 kPa there and creep closure is
+        # negligible against dissipation opening — the melt-opening sheet
+        # grows without bound (measured: capped only at the ice column,
+        # the gap reaches 45-210 m and every E4/E5/F run diverges in the
+        # year-2 winter reorganization; see SHMIP.md).  The sheet
+        # approximation is meaningless at such gaps: cap at
+        # min(ice column, VALLEY_B_CAP) — with it, every E and F case
+        # integrates stably through multi-year seasonal cycles.
+        H = np.maximum(md.z_s - md.z_b, 0.0)
+        md.b_cap = np.maximum(np.minimum(H, VALLEY_B_CAP), 1e-3)
     else:
         md.z_b = np.zeros(md.x.size)
         md.z_s = surface(md.x)

@@ -193,6 +193,13 @@ def test_shmip_valley_geometry():
     assert md.x.size > 200
     assert md.z_s.min() >= md.z_b.min()
     assert len(md.dirichlet_nodes()) >= 2      # terminus outflow nodes
+    # gap-cap contract: min(ice column, VALLEY_B_CAP), floored — the
+    # regularization that keeps every valley case integrable (SHMIP.md)
+    cap = np.asarray(md.b_cap)
+    H = np.maximum(md.z_s - md.z_b, 0.0)
+    assert cap.max() <= shmip.VALLEY_B_CAP + 1e-12
+    assert np.all(cap <= np.maximum(H, 1e-3) + 1e-12)
+    assert cap.min() >= 1e-3
 
 
 def test_shmip_f_valley_seasonal_runs():
