@@ -201,6 +201,36 @@ def test_distributed_mg_cheb_matches_single_device():
     np.testing.assert_allclose(N1, N2, rtol=1e-8)
 
 
+def test_distributed_mg_wcycle_matches_single_device():
+    """The halo-path W-cycle (double correction over the replicated coarse
+    hierarchy) must reproduce the single-device W-cycle trajectory — the
+    second correction adds level matvecs but no new communication, so
+    SPMD consistency must be preserved."""
+    from shakti_tpu.parallel.dist import gather_state, make_distributed_runner
+    from shakti_tpu.parallel.shard import make_device_mesh
+
+    def build():
+        return _problem(nx=32, ny=32, precond="mg", mg_agg=4,
+                        mg_coarse_cap=16, mg_cycle="w")
+
+    md1 = build()
+    mesh, static, state, cfg = md1.freeze()
+    step = make_step_fn(mesh, static, md1.params, cfg)
+    dts = timestep_sizes(md1.timesteps, dtype=md1.dtype)[:3]
+    s1, d1 = jax.jit(lambda a, b: run_window(step, a, b))(state, dts)
+    assert bool(np.asarray(d1["converged"]).all())
+    N1 = md1.to_user_order(np.asarray(s1.N))
+
+    md2 = build()
+    md2.distributed = True
+    runner, st0, plan = make_distributed_runner(md2, make_device_mesh(4))
+    s2, d2 = runner(st0, dts)
+    assert bool(np.asarray(d2["converged"]).all())
+    g = gather_state(plan, s2)
+    N2 = np.asarray(g.N)[md2.node_iperm]
+    np.testing.assert_allclose(N1, N2, rtol=1e-8)
+
+
 @pytest.mark.parametrize("ndev", [4])
 def test_distributed_mg_matches_single_device(ndev):
     """The halo-path multilevel PC (psum'd level-1 assembly, replicated
