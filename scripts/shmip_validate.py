@@ -454,9 +454,12 @@ def build_md(out):
             "(steadiness = rel change of N over the final 30 days).  The",
             "footprint is para-independent by construction; para < 0.05",
             "carves a mid-glacier overdeepening (trough band x in",
-            "[2, 4] km).  The adverse bed slope suppresses the efficient",
-            "drainage: the water sheet in the trough thickens and local N",
-            "drops toward zero as the overdeepening grows.",
+            "[2, 4] km).  Measured trend: mean and trough N increase",
+            "MONOTONICALLY with overdeepening depth (the adverse exit",
+            "slope reduces the dissipation-opening term, the sheet",
+            "closes, and effective pressure rises) — the sheet-model",
+            "analogue of the channel shutdown SHMIP reports over",
+            "overdeepenings (de Fleurian et al. 2018 §5.4).",
             "",
             "Valley regularization: SHMIP's p_w = 0 terminus BC leaves",
             "N ~ 9 kPa at the ~1 m snout, so creep closure never balances",
@@ -504,6 +507,15 @@ def build_md(out):
         lines.append("")
         lines.append("Amplitude monotonic in dT: "
                      f"**{out['F_amplitude_monotonic']}**.")
+        lines += [
+            "(The warm branch F3-F5 grows monotonically; the cold-end",
+            "amplitudes F1-F3 are flat within ~3% — the bench valley's",
+            "terminus sits at sea level, so a melt season survives even",
+            "dT = -4 K and the seasonal swing saturates instead of",
+            "shrinking.  Suite D on the 100 km suite-A topography, where",
+            "elevation kills the cold-end melt season, shows the strict",
+            "monotone response.)",
+        ]
     lines += [
         "",
         "## Reading (suite A)",
