@@ -153,6 +153,14 @@ class NewtonConfig:
     # the reliable signal (DOLFINx's 'incremental' criterion, made the
     # primary test for f32).  0 disables.
     inc_rtol: float = 0.0
+    # Differentiable mode: route the implicit N-solve through the
+    # implicit-function-theorem custom VJP (solve/implicit.py) so whole
+    # transients are reverse-mode differentiable (calibration/inversion —
+    # a capability the reference's PETSc stack lacks entirely).  One extra
+    # adjoint Krylov solve per step on the backward pass; forward cost and
+    # trajectories are unchanged.  Incompatible with lag_operator (set it
+    # to False explicitly) and the distributed halo path.
+    differentiable: bool = False
 
     def for_dtype(self, dtype) -> "NewtonConfig":
         """Loosen tolerances to what the dtype can resolve (f32 on TPU)."""

@@ -114,6 +114,18 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
     sq = res.static_quad_fields(mesh, static, cfg.quad_degree,
                                 mesh.nodes.dtype)
 
+    implicit_solve = None
+    if cfg.differentiable:
+        # IFT custom-VJP wrapper around the Newton solve: makes step (and
+        # any run_window scan over it) reverse-mode differentiable.  See
+        # solve/implicit.py; the forward trajectory is identical.
+        if cfg.lag_operator:
+            raise ValueError("differentiable=True requires lag_operator="
+                             "False (the operator carry is stateful)")
+        from shakti_tpu.solve.implicit import make_implicit_solver
+        implicit_solve = make_implicit_solver(mesh, static.dirichlet,
+                                              static.N_bdry, params, cfg)
+
     def step(state: State, forcing):
         # ``forcing`` is a plain dt scalar, or a dict with 'dt' and optional
         # per-step scalars ('inputs_scale' for seasonal/meltwater forcing,
@@ -149,9 +161,13 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
             guess = 2.0 * state.N - state.N_prev
         else:
             guess = state.N
-        N, stats = newton_solve(guess, pre, mesh, static.dirichlet,
-                                static.N_bdry, p, cfg, N_ref=state.N,
-                                lag=state.lag_op if cfg.lag_operator else None)
+        if implicit_solve is not None:
+            N, stats = implicit_solve(guess, state.N, pre)
+        else:
+            N, stats = newton_solve(guess, pre, mesh, static.dirichlet,
+                                    static.N_bdry, p, cfg, N_ref=state.N,
+                                    lag=state.lag_op
+                                    if cfg.lag_operator else None)
         if cfg.lag_operator:
             ok, age, *rest = stats.pop("lag")
             lag_out = (ok, age + 1, *rest)     # one step older per step

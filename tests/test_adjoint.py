@@ -1,0 +1,121 @@
+"""Differentiable-simulation tests (solve/implicit.py): the IFT custom VJP
+must (a) leave forward trajectories bit-identical, (b) produce gradients
+matching central finite differences through multi-step transients, for both
+per-step forcing parameters and initial-state fields.  A capability test —
+the reference stack (PETSc NewtonSolver, reference solvers.py:51-63) has no
+adjoint at all."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import setups.setup_slab as slab
+from shakti_tpu.solve.timestep import make_step_fn, run_window, timestep_sizes
+
+
+def _md(nx=12, ny=12, steps=5, **solver_kw):
+    md = slab.initialize(nx=nx, ny=ny, days=steps / 24.0, nt_per_day=24)
+    md.b_init = np.full(md.x.size, 0.01)
+    kw = dict(adaptive_dt_levels=0, lag_operator=False,
+              # tight solves so the IFT premise F(N*)=0 holds to roundoff
+              # and the FD comparison is not polluted by solver tolerance
+              rtol=1e-12, atol=1e-13, lin_rtol=1e-12)
+    kw.update(solver_kw)
+    md.solver = dataclasses.replace(md.solver, **kw)
+    return md
+
+
+def _window(md):
+    mesh, static, state, cfg = md.freeze()
+    step = make_step_fn(mesh, static, md.params, cfg)
+    dts = timestep_sizes(md.timesteps, dtype=md.dtype)
+    return mesh, state, step, dts
+
+
+def test_forward_trajectory_unchanged():
+    """differentiable=True must not perturb the primal computation."""
+    md1 = _md()
+    mesh, s1, step1, dts = _window(md1)
+    out1, d1 = jax.jit(lambda s, d: run_window(step1, s, d))(s1, dts)
+
+    md2 = _md(differentiable=True)
+    _, s2, step2, _ = _window(md2)
+    out2, d2 = jax.jit(lambda s, d: run_window(step2, s, d))(s2, dts)
+
+    assert bool(np.asarray(d1["converged"]).all())
+    assert bool(np.asarray(d2["converged"]).all())
+    np.testing.assert_array_equal(np.asarray(out1.N), np.asarray(out2.N))
+    np.testing.assert_array_equal(np.asarray(out1.b), np.asarray(out2.b))
+
+
+def test_gradient_wrt_forcing_scale_matches_fd():
+    """d(mean final N)/d(inputs_scale) through a 5-step transient: the
+    gradient must flow through every implicit solve in the scan."""
+    md = _md(differentiable=True)
+    mesh, state, step, dts = _window(md)
+
+    @jax.jit
+    def loss(scale):
+        forcing = {"dt": dts, "inputs_scale": jnp.full_like(dts, scale)}
+        out, _ = run_window(step, state, forcing)
+        return jnp.mean(out.N)
+
+    s0 = jnp.asarray(1.0, md.dtype)
+    g = float(jax.grad(loss)(s0))
+    h = 1e-5
+    fd = float((loss(s0 + h) - loss(s0 - h)) / (2 * h))
+    assert fd != 0.0
+    assert abs(g - fd) <= 2e-5 * abs(fd), (g, fd)
+
+
+def test_gradient_wrt_initial_gap_matches_fd():
+    """Directional derivative of the final state w.r.t. the initial gap
+    height b0 (the state-to-state adjoint chain: b0 -> pre -> N* -> b1 ...)."""
+    md = _md(differentiable=True)
+    mesh, state, step, dts = _window(md)
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=state.b.shape)
+    v = jnp.asarray(v / np.linalg.norm(v), md.dtype)
+
+    @jax.jit
+    def loss_from_b(b0):
+        out, _ = run_window(step, dataclasses.replace(state, b=b0), dts)
+        return jnp.mean(out.N) / 1e5 + 1e3 * jnp.mean(out.b)
+
+    g = jax.grad(loss_from_b)(state.b)
+    gdir = float(jnp.vdot(g, v))
+    h = 1e-6
+    fd = float((loss_from_b(state.b + h * v)
+                - loss_from_b(state.b - h * v)) / (2 * h))
+    assert fd != 0.0
+    assert abs(gdir - fd) <= 1e-4 * abs(fd), (gdir, fd)
+
+
+def test_initial_iterate_gets_zero_cotangent():
+    """The converged solution must not differentiate through the Newton
+    starting iterate (the IFT premise) — grad w.r.t. N_init is exactly 0
+    when the loss depends only on the solved N of the same step."""
+    md = _md(steps=2, differentiable=True)
+    mesh, state, step, dts = _window(md)
+
+    @jax.jit
+    def loss(N0):
+        # N0 enters ONLY as N_prev (the extrapolation seed), not as the
+        # storage-term N_n (storage is off in the slab case)
+        out, _ = run_window(step, dataclasses.replace(state, N_prev=N0),
+                            dts[:1])
+        return jnp.mean(out.N)
+
+    g = np.asarray(jax.grad(loss)(state.N * 1.01))
+    np.testing.assert_array_equal(g, np.zeros_like(g))
+
+
+def test_lag_operator_rejected():
+    md = _md(differentiable=True, lag_operator=True)
+    mesh, static, state, cfg = md.freeze()
+    from shakti_tpu.solve.timestep import make_step_fn as msf
+    with pytest.raises(ValueError, match="differentiable"):
+        msf(mesh, static, md.params, cfg)
