@@ -9,6 +9,10 @@ algorithmic weak-scaling property of the multilevel preconditioner
 throughput claim (see dist_scale.py docstring).
 
     python scripts/weak_scaling.py [--sizes 2.5e5,1e6,4e6,1e7] [--steps 3]
+    python scripts/weak_scaling.py --from-artifacts   # assemble from
+        # previously recorded scripts/dist_scale_{250k,1M,4M,10M}.json
+        # (each leg is hours on this single shared CPU core, so legs are
+        # usually run individually and assembled after the fact)
 
 Each size runs in a fresh subprocess (own XLA flags / device mesh).
 """
@@ -28,10 +32,21 @@ def main():
     ap.add_argument("--sizes", default="2.5e5,1e6,4e6,1e7")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--from-artifacts", action="store_true",
+                    help="assemble WEAK_SCALING.json from existing "
+                         "scripts/dist_scale_<tag>.json legs instead of "
+                         "re-running them")
     args = ap.parse_args()
     sizes = [float(s) for s in args.sizes.split(",")]
 
     rows = []
+    if args.from_artifacts:
+        for dof in sizes:
+            tag = (f"{dof / 1e6:g}M" if dof >= 1e6 else f"{dof / 1e3:g}k")
+            path = os.path.join(ROOT, "scripts", f"dist_scale_{tag}.json")
+            with open(path) as f:
+                rows.append(json.load(f))
+        return finish(rows, args)
     for dof in sizes:
         t0 = time.time()
         cmd = [sys.executable, os.path.join(ROOT, "scripts", "dist_scale.py"),
@@ -48,7 +63,10 @@ def main():
         rows.append(r)
         print(f"# done {dof:g}: cg={r['cg_iters']}", file=sys.stderr,
               flush=True)
+    finish(rows, args)
 
+
+def finish(rows, args):
     out = {"metric": "weak_scaling_cg", "devices": args.devices,
            "steps": args.steps, "rows": rows}
     path = os.path.join(ROOT, "scripts", "WEAK_SCALING.json")
