@@ -42,6 +42,10 @@ def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
     assert len(jax.devices()) >= args.devices, jax.devices()
+    from shakti_tpu.utils.backend import enable_compile_cache
+    cc = enable_compile_cache()          # SHAKTI_COMPILE_CACHE opt-in
+    if cc:
+        print(f"# compilation cache: {cc}", file=sys.stderr, flush=True)
 
     from shakti_tpu.api.model import ModelSetup
     from shakti_tpu.mesh.generate import rectangle_mesh

@@ -53,8 +53,17 @@ def main(argv=None):
                          "(JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
                          "JAX_PROCESS_ID or Cloud TPU metadata); "
                          "run one process per host")
+    ap.add_argument("--compile-cache", metavar="DIR", default=None,
+                    help="persistent XLA compilation cache directory "
+                         "(also via SHAKTI_COMPILE_CACHE); repeat runs "
+                         "skip the minutes-long large-mesh compiles")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
+
+    from shakti_tpu.utils.backend import enable_compile_cache
+    cache_dir = enable_compile_cache(args.compile_cache)
+    if cache_dir and not args.quiet:
+        print(f"compilation cache: {cache_dir}")
 
     if args.multihost:
         from shakti_tpu.utils.multihost import init_multihost

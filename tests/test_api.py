@@ -115,6 +115,34 @@ def test_in_memory_run_without_results_dir():
     assert out["history"]["N"].shape[0] == -(-md.timesteps.size // md.nt_save)
 
 
+def test_compile_cache_populated_and_run_unchanged(tmp_path):
+    """enable_compile_cache writes XLA executables to the given directory
+    and does not perturb results (utils/backend.py)."""
+    import jax
+
+    from shakti_tpu.utils.backend import enable_compile_cache
+
+    md = slab.initialize(nx=8, ny=8, days=0.5, nt_per_day=4)
+    ref = solve(md, progress=False)
+    cdir = str(tmp_path / "xla_cache")
+    got = enable_compile_cache(cdir)
+    try:
+        assert got == cdir and os.path.isdir(cdir)
+        # same problem again: results must be byte-identical with the
+        # cache enabled (the executable is what's cached, not the math)
+        md2 = slab.initialize(nx=8, ny=8, days=0.5, nt_per_day=4)
+        out = solve(md2, progress=False)
+        np.testing.assert_array_equal(np.asarray(out["state"].N),
+                                      np.asarray(ref["state"].N))
+        # a shape not yet in the in-process jit cache forces a fresh
+        # XLA compile, which must land entries in the directory
+        md3 = slab.initialize(nx=9, ny=8, days=0.5, nt_per_day=4)
+        solve(md3, progress=False)
+        assert os.listdir(cdir), "no cache entries written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
 def test_nonconvergence_raises():
     md = slab.initialize(nx=8, ny=8, days=0.5, nt_per_day=4)
     from shakti_tpu.solve.newton import NewtonConfig
