@@ -72,7 +72,8 @@ def build_bench_model():
     rng = np.random.default_rng(0)
     md.b_init = np.maximum(0.001 + rng.normal(scale=0.0005, size=md.x.size), 1e-5)
     md.N_init = np.full(md.x.size, md.N_bdry)
-    md.timesteps = np.linspace(0, 3.154e7 / 365 * 40, 40 * 24)  # 40 days hourly
+    days = int(os.environ.get("SHAKTI_BENCH_DAYS", "80"))  # hourly steps
+    md.timesteps = np.linspace(0, 3.154e7 / 365 * days, days * 24)
     md.nt_save = 24
     # lean solver config: no dt-halving retry branch — it never triggers in
     # the timed steady-state windows and would ~double the remote compile.
@@ -96,6 +97,8 @@ def build_bench_model():
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -104,44 +107,68 @@ def main():
     md = build_bench_model()
     mesh, static, state, cfg = md.freeze()
     step = make_step_fn(mesh, static, md.params, cfg)
-    runner = jax.jit(lambda s, d: run_window(step, s, d))
     dts = timestep_sizes(md.timesteps, dtype=md.dtype)
 
     win = int(md.nt_save)
 
-    # history snapshot: one device->host transfer per save window (the
-    # tunnel charges ~tens of ms PER transfer, so N/b/q are concatenated
-    # on-device and pulled as a single array — the reference's analogue
-    # cost is its daily .npy writes, included in its 52.9 ms/step)
+    # history snapshot: N/b/q concatenated on-device into one row per save
+    # window (the reference's analogue cost is its daily .npy writes,
+    # included in its 52.9 ms/step)
     pack = jax.jit(lambda s: jnp.concatenate(
         [s.N, s.b, s.q[:, 0], s.q[:, 1]]))
 
-    # warmup: compile + settle transients (first steps take extra Newton iters)
-    state, diag = runner(state, dts[:win])
-    jax.block_until_ready(state)
-    i = win
+    # the production run loop (api/run.py solve): ONE device call covers a
+    # group of save windows, accumulating the daily history rows on device,
+    # and ONE device->host pull materializes the group's rows — dispatch
+    # and transfer round trips each cost tens of ms through the TPU
+    # tunnel, so the per-window chatter of the naive loop dominates the
+    # all-inclusive step time.  Group size mirrors the flagship's
+    # checkpoint cadence (nt_check 1200 steps = 50 windows; memory-capped
+    # the same way — see api/run.py).
+    group_b = int(os.environ.get("SHAKTI_BENCH_GROUP", "25"))
+
+    def gbody(s, d):
+        s, diag = run_window(step, s, d)
+        # converged flag + newton/cg sums ride the same row (small exact
+        # ints in f32) so a group is ONE dispatch + ONE pull, total
+        extra = jnp.stack([diag["converged"].all().astype(s.N.dtype),
+                           diag["newton_iters"].sum().astype(s.N.dtype),
+                           diag["cg_iters"].sum().astype(s.N.dtype)])
+        return s, jnp.concatenate([pack(s), extra])
+
+    grouped = jax.jit(lambda s, d: jax.lax.scan(gbody, s, d))
+
+    # warmup: compile + settle transients (first steps take extra Newton
+    # iters); one warmup group of the timed shape
+    state, rows = grouped(state, dts[:group_b * win].reshape(group_b, win))
+    np.asarray(rows[-1])
+    i = group_b * win
     n_timed = 0
-    t0 = None
-    target_windows = 10
-    t_start = time.time()
+    newton_sum = cg_sum = 0.0
+    t0 = time.time()
+    conv_all = True
     snap = None
-    while n_timed < target_windows and i + win <= dts.shape[0]:
-        state, diag = runner(state, dts[i:i + win])
-        # history snapshot device->host, amortized like the reference's saves
-        flat = np.asarray(pack(state))
-        n = flat.size // 4
-        snap = (flat[:n], flat[n:2 * n], flat[2 * n:].reshape(2, n).T)
-        if t0 is None:
-            t0 = time.time()       # first timed window starts after this one
-            t_first = t0
-        n_timed += 1
-        i += win
-    jax.block_until_ready(state)
+    while i + group_b * win <= dts.shape[0]:
+        state, rows = grouped(
+            state, dts[i:i + group_b * win].reshape(group_b, win))
+        # the group's history rows in one device->host transfer, exactly
+        # like the production save path
+        flat = np.asarray(rows)
+        n = (flat.shape[1] - 3) // 4
+        snap = (flat[-1, :n], flat[-1, n:2 * n],
+                flat[-1, 2 * n:3 * n], flat[-1, 3 * n:4 * n])
+        conv_all &= bool((flat[:, -3] > 0).all())
+        newton_sum += float(flat[:, -2].sum())
+        cg_sum += float(flat[:, -1].sum())
+        n_timed += group_b
+        i += group_b * win
     t1 = time.time()
 
-    conv = bool(np.asarray(diag["converged"]).all())
-    steps_timed = (n_timed - 1) * win
+    conv = conv_all
+    steps_timed = n_timed * win
     ms_per_step = (t1 - t0) / max(steps_timed, 1) * 1e3
+    diag_means = {"newton": newton_sum / max(steps_timed, 1),
+                  "cg": cg_sum / max(steps_timed, 1)}
 
     dev = jax.devices()[0]
     result = {
@@ -160,8 +187,8 @@ def main():
     print(json.dumps(result))
     print(f"# device={dev.platform}:{dev.device_kind} dtype={np.dtype(md.dtype).name} "
           f"nodes={mesh.n_nodes} cells={mesh.n_cells} steps_timed={steps_timed} "
-          f"converged={conv} newton_mean={float(np.asarray(diag['newton_iters']).mean()):.2f} "
-          f"cg_mean={float(np.asarray(diag['cg_iters']).mean()):.1f} "
+          f"converged={conv} newton_mean={diag_means['newton']:.2f} "
+          f"cg_mean={diag_means['cg']:.1f} "
           f"dof_steps_per_s={mesh.n_nodes / ms_per_step * 1e3:.3g}",
           file=sys.stderr)
     return 0

@@ -51,6 +51,29 @@ def _save_windows(nt: int, nt_save: int, start: int):
         i = nxt + 1
 
 
+def _group_windows(windows, nt_check: int, max_group: int):
+    """Group consecutive equal-length save windows so ONE device call (and
+    ONE device->host pull of on-device-accumulated save rows) covers the
+    whole group.  Groups are cut at checkpoint boundaries — the host needs
+    the full state there — and around irregular (first/partial/non-save)
+    windows, which run as singleton groups through the plain path."""
+    cur = []
+    for w in windows:
+        i0, wlen, do_save = w
+        if cur and (not do_save or wlen != cur[0][1]):
+            yield cur
+            cur = []
+        if not do_save:
+            yield [w]
+            continue
+        cur.append(w)
+        if (i0 + wlen - 1) % nt_check == 0 or len(cur) >= max_group:
+            yield cur
+            cur = []
+    if cur:
+        yield cur
+
+
 def solve(md, *, resume: bool = False, progress: bool = True):
     """Run the transient problem defined by a ModelSetup.
 
@@ -179,49 +202,122 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         pack_fn = jax.jit(lambda st: jnp.concatenate(
             [st.N, st.b, st.q[:, 0], st.q[:, 1]]))
 
+    # per-window solver diagnostics ride the SAME single transfer rule:
+    # converged/newton/cg/rnorm as one packed (4*wlen,) pull instead of
+    # four separate np.asarray round trips per window (at the flagship's
+    # 24-step windows the extra pulls were ~40% of the all-inclusive
+    # overhead on the tunnel)
+    import jax.numpy as _jnp
+    _diag_cat = lambda d: _jnp.concatenate([
+        d["converged"].astype(d["rnorm"].dtype),
+        d["newton_iters"].astype(d["rnorm"].dtype),
+        d["cg_iters"].astype(d["rnorm"].dtype),
+        d["rnorm"]])
+    pack_diag = jax.jit(_diag_cat)
+    # save windows: state + diagnostics in ONE pull (diag counts/flags are
+    # small integers and flags — exact in the state's dtype)
+    pack_all = (jax.jit(lambda st, d: _jnp.concatenate(
+        [pack_fn(st), _diag_cat(d).astype(st.N.dtype)]))
+        if pack_fn is not None else None)
+
+    # grouped device calls (single-device path only): scan over b
+    # consecutive save windows ON DEVICE, accumulating one packed
+    # (state row + diag row) per window, and pull the (b, 4n+4*wlen)
+    # result once — per-window dispatch and transfer round trips each
+    # cost tens of ms through the TPU tunnel, and at the flagship's
+    # cadence (24-step windows, checkpoint every 50) this reduces the
+    # device<->host chatter per checkpoint interval from ~100 round
+    # trips to 2.  The on-device row buffer is capped at ~32 MB.
+    _group_jits = {}
+
+    def run_group(st, f_grp):
+        key = tuple(jax.tree_util.tree_map(
+            lambda a: a.shape, f_grp)["dt"])  # (b, wlen)
+        if key not in _group_jits:
+            def gbody(s, f_win):
+                s, diags = run_window(step_fn, s, f_win)
+                return s, _jnp.concatenate(
+                    [pack_fn(s), _diag_cat(diags).astype(s.N.dtype)])
+            _group_jits[key] = jax.jit(
+                lambda s, f: jax.lax.scan(gbody, s, f))
+        return _group_jits[key](st, f_grp)
+
+    if pack_all is not None:
+        row_elems = 4 * n_nodes + 4 * nt_save
+        max_group = max(1, min(64, int(32e6 / (4 * row_elems))))
+        if os.environ.get("SHAKTI_RUN_GROUP"):       # A/B + test override
+            max_group = max(1, int(os.environ["SHAKTI_RUN_GROUP"]))
+    else:
+        max_group = 1                        # dist path: per-window host gather
+
     newton_total = cg_total = 0
     t0 = time.time()
-    windows = list(_save_windows(nt, nt_save, start_step))
-    for w_idx, (i0, wlen, do_save) in enumerate(windows):
-        f_win = jax.tree_util.tree_map(lambda a: a[i0:i0 + wlen], forcing)
-        state, diags = runner(state, f_win)
-        conv = np.asarray(diags["converged"])
+    unp = md.node_iperm if md.node_iperm is not None else slice(None)
+
+    def consume(i0, wlen, flat, dg):
+        """Per-window host bookkeeping from the pulled row."""
+        nonlocal row, newton_total, cg_total
+        conv, ni, ci, rn = dg[0] > 0.0, dg[1], dg[2], dg[3]
         if not conv.all():
             bad = i0 + int(np.argmin(conv))
             if io_on:
                 write_histories()
             raise ConvergenceError(
                 f"Newton failed to converge at time step {bad} "
-                f"(residual {float(np.asarray(diags['rnorm'])[bad - i0]):.3e})")
-        ni = np.asarray(diags["newton_iters"])
-        ci = np.asarray(diags["cg_iters"])
+                f"(residual {float(rn[bad - i0]):.3e})")
         newton_total += int(ni.sum())
         cg_total += int(ci.sum())
         last = i0 + wlen - 1
-        if do_save:
-            # histories are written in the caller's original node order
-            # (freeze may renumber nodes for block locality)
-            unp = md.node_iperm if md.node_iperm is not None else slice(None)
-            if pack_fn is None:
-                gs = extract(state)
-                vals = (np.asarray(gs.N), np.asarray(gs.b),
-                        np.asarray(gs.q[:, 0]), np.asarray(gs.q[:, 1]))
+        if flat is None:
+            return last
+        # histories are written in the caller's original node order
+        # (freeze may renumber nodes for block locality)
+        vals = tuple(flat[k * n_nodes:(k + 1) * n_nodes] for k in range(4))
+        for k, v in zip(("N", "b", "qx", "qy"), vals):
+            hist[k][row] = v[unp]
+        log_rows.append((last, float(timesteps[last]), float(ni.mean()),
+                         int(ni.max()), float(ci.mean()), float(rn.max())))
+        row += 1
+        if io_on and last % nt_check == 0:
+            write_histories()
+            write_log()
+            ckpt.save_state(rdir, extract(state), last + 1, row,
+                            fingerprint=mesh_fp)
+        return last
+
+    windows = list(_save_windows(nt, nt_save, start_step))
+    for g_idx, grp in enumerate(_group_windows(windows, nt_check, max_group)):
+        if len(grp) > 1:
+            g0, wlen = grp[0][0], grp[0][1]
+            b = len(grp)
+            f_grp = jax.tree_util.tree_map(
+                lambda a: a[g0:g0 + b * wlen].reshape((b, wlen)
+                                                      + a.shape[1:]), forcing)
+            state, rows = run_group(state, f_grp)
+            rows = np.asarray(rows)                        # ONE pull
+            for j, (i0, wlen_j, _) in enumerate(grp):
+                last = consume(i0, wlen_j, rows[j, :4 * n_nodes],
+                               rows[j, 4 * n_nodes:].reshape(4, wlen_j))
+        else:
+            i0, wlen, do_save = grp[0]
+            f_win = jax.tree_util.tree_map(
+                lambda a: a[i0:i0 + wlen], forcing)
+            state, diags = runner(state, f_win)
+            if do_save and pack_all is not None:
+                both = np.asarray(pack_all(state, diags))
+                flat = both[:4 * n_nodes]
+                dg = both[4 * n_nodes:].reshape(4, wlen)
             else:
-                flat = np.asarray(pack_fn(state))
-                vals = tuple(flat[k * n_nodes:(k + 1) * n_nodes]
-                             for k in range(4))
-            for k, v in zip(("N", "b", "qx", "qy"), vals):
-                hist[k][row] = v[unp]
-            log_rows.append((last, float(timesteps[last]), float(ni.mean()),
-                             int(ni.max()), float(ci.mean()),
-                             float(np.asarray(diags["rnorm"]).max())))
-            row += 1
-            if io_on and last % nt_check == 0:
-                write_histories()
-                write_log()
-                ckpt.save_state(rdir, extract(state), last + 1, row,
-                                fingerprint=mesh_fp)
-        if progress and (w_idx + 1) % 10 == 0:
+                dg = np.asarray(pack_diag(diags)).reshape(4, wlen)
+                if do_save:
+                    gs = extract(state)
+                    flat = np.concatenate(
+                        [np.asarray(gs.N), np.asarray(gs.b),
+                         np.asarray(gs.q[:, 0]), np.asarray(gs.q[:, 1])])
+                else:
+                    flat = None
+            last = consume(i0, wlen, flat, dg)
+        if progress and (g_idx + 1) % 10 == 0:
             done = last + 1
             print(f"Time step {done} of {nt} completed ({done / nt * 100:.1f}%)",
                   end="\r", flush=True)

@@ -218,3 +218,49 @@ $EndElements
     nodes, cells = read_msh(str(p))
     assert nodes.shape == (4, 2)
     np.testing.assert_array_equal(cells, [[0, 1, 2], [0, 2, 3]])
+
+
+def test_group_windows_partition():
+    """_group_windows must cover _save_windows exactly, in order, cutting
+    groups at checkpoint boundaries and around irregular windows so the
+    grouped device calls checkpoint with the correct end-of-group state."""
+    from shakti_tpu.api.run import _group_windows, _save_windows
+
+    for nt, nt_save, nt_check, max_g, start in [
+            (101, 4, 16, 8, 0), (97, 24, 1200, 25, 0), (50, 4, 8, 64, 9),
+            (10, 1, 5, 3, 0), (25, 24, 48, 4, 0)]:
+        ws = list(_save_windows(nt, nt_save, start))
+        grps = list(_group_windows(ws, nt_check, max_g))
+        assert [w for g in grps for w in g] == ws
+        for g in grps:
+            assert len(g) <= max_g
+            # all windows in a multi-window group are equal-length saves
+            if len(g) > 1:
+                assert all(w[2] and w[1] == g[0][1] for w in g)
+            # checkpoint boundaries only at the last window of a group
+            for w in g[:-1]:
+                assert (w[0] + w[1] - 1) % nt_check != 0
+
+
+def test_grouped_run_matches_singleton(tmp_path, monkeypatch):
+    """The grouped device-call path (scan over save windows, one pull per
+    group) must reproduce the per-window path exactly."""
+    md1 = make_md(tmp_path, name="grp_auto")
+    out1 = solve(md1, progress=False)
+
+    monkeypatch.setenv("SHAKTI_RUN_GROUP", "1")
+    md2 = make_md(tmp_path, name="grp_one")
+    out2 = solve(md2, progress=False)
+
+    np.testing.assert_array_equal(np.asarray(out1["state"].N),
+                                  np.asarray(out2["state"].N))
+    np.testing.assert_array_equal(np.asarray(out1["state"].b),
+                                  np.asarray(out2["state"].b))
+    for k in ("N", "b", "qx", "qy"):
+        np.testing.assert_array_equal(out1["history"][k], out2["history"][k])
+    assert out1["newton_iters_total"] == out2["newton_iters_total"]
+    assert out1["cg_iters_total"] == out2["cg_iters_total"]
+    # log.csv diagnostics identical row-for-row
+    log1 = open(os.path.join(str(md1.results_name), "log.csv")).read()
+    log2 = open(os.path.join(str(md2.results_name), "log.csv")).read()
+    assert log1.splitlines()[1:] == log2.splitlines()[1:]
