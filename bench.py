@@ -126,6 +126,8 @@ def main():
     # checkpoint cadence (nt_check 1200 steps = 50 windows; memory-capped
     # the same way — see api/run.py).
     group_b = int(os.environ.get("SHAKTI_BENCH_GROUP", "25"))
+    # warmup consumes one full group; cap so at least one timed group fits
+    group_b = max(1, min(group_b, (dts.shape[0] // win) // 2))
 
     def gbody(s, d):
         s, diag = run_window(step, s, d)
@@ -166,7 +168,11 @@ def main():
 
     conv = conv_all
     steps_timed = n_timed * win
-    ms_per_step = (t1 - t0) / max(steps_timed, 1) * 1e3
+    if steps_timed == 0:
+        print("# ERROR: no timed groups (horizon too short for group size)",
+              file=sys.stderr)
+        return 2
+    ms_per_step = (t1 - t0) / steps_timed * 1e3
     diag_means = {"newton": newton_sum / max(steps_timed, 1),
                   "cg": cg_sum / max(steps_timed, 1)}
 

@@ -77,7 +77,9 @@ def main():
         mg_cheb_deg=int(os.environ.get("SHAKTI_MG_CHEB_DEG", _d.mg_cheb_deg)),
         mg_cheb_frac=float(os.environ.get("SHAKTI_MG_CHEB_FRAC",
                                           _d.mg_cheb_frac)),
-        mg_cycle=os.environ.get("SHAKTI_MG_CYCLE", _d.mg_cycle))
+        mg_cycle=os.environ.get("SHAKTI_MG_CYCLE", _d.mg_cycle),
+        mg_smooth_p=float(os.environ.get("SHAKTI_MG_SMOOTHP",
+                                         _d.mg_smooth_p)))
     md.z_b = 0.002 * md.x - 100.0
     md.z_s = md.z_b + 1200.0 + 0.001 * (md.x - nx * h / 2)
     md.G = np.full(md.x.size, 0.06, dtype=np.float32)

@@ -120,17 +120,39 @@ def solve(md, *, resume: bool = False, progress: bool = True):
                         os.path.join(rdir, os.path.basename(str(md.setup_file))))
 
     # history rows carry the marching dtype (f32 on TPU): widening to f64
-    # would add no information and double the rolling-checkpoint IO volume
-    hist = {k: np.zeros((n_saves, n_nodes), dtype=np.dtype(md.dtype))
-            for k in ("N", "b", "qx", "qy")}
+    # would add no information and double the rolling-checkpoint IO volume.
+    # With a results dir the histories are MEMMAP-backed .npy files: each
+    # daily row is written to disk once when it lands and checkpoints only
+    # flush the dirty pages — the previous whole-array np.save rewrite cost
+    # 4 x n_saves x n_nodes bytes PER CHECKPOINT (the flagship: ~716 MB
+    # every 1,200 steps, ~51 GB over the run — measured ~5 ms/step of the
+    # all-inclusive wall on this host's 128 MB/s disk).
+    hist_dt = np.dtype(md.dtype)
+
+    def _open_hist(k):
+        f = os.path.join(rdir, f"{k}.npy")
+        if start_step > 0 and os.path.exists(f):
+            old = np.lib.format.open_memmap(f, mode="r+")
+            if old.shape == (n_saves, n_nodes) and old.dtype == hist_dt:
+                return old            # resume in place
+            mm = np.lib.format.open_memmap(
+                f + ".new", mode="w+", dtype=hist_dt,
+                shape=(n_saves, n_nodes))
+            m = min(old.shape[0], n_saves)
+            mm[:m] = old[:m]
+            del old
+            os.replace(f + ".new", f)
+            return np.lib.format.open_memmap(f, mode="r+")
+        return np.lib.format.open_memmap(f, mode="w+", dtype=hist_dt,
+                                         shape=(n_saves, n_nodes))
+
+    if io_on:
+        hist = {k: _open_hist(k) for k in ("N", "b", "qx", "qy")}
+    else:
+        hist = {k: np.zeros((n_saves, n_nodes), dtype=hist_dt)
+                for k in ("N", "b", "qx", "qy")}
     log_rows = []
     if io_on and start_step > 0:
-        for k in hist:
-            f = os.path.join(rdir, f"{k}.npy")
-            if os.path.exists(f):
-                old = np.load(f)
-                m = min(old.shape[0], n_saves)
-                hist[k][:m] = old[:m]
         # preserve pre-resume diagnostics (log.csv is rewritten whole)
         logf = os.path.join(rdir, "log.csv")
         if os.path.exists(logf):
@@ -141,7 +163,7 @@ def solve(md, *, resume: bool = False, progress: bool = True):
 
     def write_histories():
         for k in hist:
-            np.save(os.path.join(rdir, f"{k}.npy"), hist[k])
+            hist[k].flush()
 
     def write_log():
         with open(os.path.join(rdir, "log.csv"), "w") as f:
@@ -254,8 +276,11 @@ def solve(md, *, resume: bool = False, progress: bool = True):
     t0 = time.time()
     unp = md.node_iperm if md.node_iperm is not None else slice(None)
 
-    def consume(i0, wlen, flat, dg):
-        """Per-window host bookkeeping from the pulled row."""
+    def consume(i0, wlen, flat, dg, ck_state):
+        """Per-window host bookkeeping from the pulled row.  ``ck_state``
+        is the (immutable) device state pytree from the end of the group
+        this window belongs to — the correct checkpoint snapshot even when
+        the main loop has already dispatched the next group."""
         nonlocal row, newton_total, cg_total
         conv, ni, ci, rn = dg[0] > 0.0, dg[1], dg[2], dg[3]
         if not conv.all():
@@ -281,11 +306,43 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         if io_on and last % nt_check == 0:
             write_histories()
             write_log()
-            ckpt.save_state(rdir, extract(state), last + 1, row,
+            ckpt.save_state(rdir, extract(ck_state), last + 1, row,
                             fingerprint=mesh_fp)
         return last
 
+    def process(item):
+        """Pull + bookkeep one finished group.  Runs while the DEVICE is
+        already crunching the next group (the main loop dispatches ahead;
+        jax dispatch is async), so the device->host transfers, history
+        writes, and rolling checkpoints hide under compute instead of
+        serializing with it."""
+        kind, grp, payload, ck_state = item
+        if kind == "group":
+            rows = np.asarray(payload)                     # ONE pull
+            for j, (i0, wlen_j, _) in enumerate(grp):
+                last = consume(i0, wlen_j, rows[j, :4 * n_nodes],
+                               rows[j, 4 * n_nodes:].reshape(4, wlen_j),
+                               ck_state)
+            return last
+        i0, wlen, do_save = grp[0]
+        diags = payload
+        if do_save and pack_all is not None:
+            both = np.asarray(pack_all(ck_state, diags))
+            flat = both[:4 * n_nodes]
+            dg = both[4 * n_nodes:].reshape(4, wlen)
+        else:
+            dg = np.asarray(pack_diag(diags)).reshape(4, wlen)
+            if do_save:
+                gs = extract(ck_state)
+                flat = np.concatenate(
+                    [np.asarray(gs.N), np.asarray(gs.b),
+                     np.asarray(gs.q[:, 0]), np.asarray(gs.q[:, 1])])
+            else:
+                flat = None
+        return consume(i0, wlen, flat, dg, ck_state)
+
     windows = list(_save_windows(nt, nt_save, start_step))
+    pending = None
     for g_idx, grp in enumerate(_group_windows(windows, nt_check, max_group)):
         if len(grp) > 1:
             g0, wlen = grp[0][0], grp[0][1]
@@ -294,33 +351,22 @@ def solve(md, *, resume: bool = False, progress: bool = True):
                 lambda a: a[g0:g0 + b * wlen].reshape((b, wlen)
                                                       + a.shape[1:]), forcing)
             state, rows = run_group(state, f_grp)
-            rows = np.asarray(rows)                        # ONE pull
-            for j, (i0, wlen_j, _) in enumerate(grp):
-                last = consume(i0, wlen_j, rows[j, :4 * n_nodes],
-                               rows[j, 4 * n_nodes:].reshape(4, wlen_j))
+            item = ("group", grp, rows, state)
         else:
             i0, wlen, do_save = grp[0]
             f_win = jax.tree_util.tree_map(
                 lambda a: a[i0:i0 + wlen], forcing)
             state, diags = runner(state, f_win)
-            if do_save and pack_all is not None:
-                both = np.asarray(pack_all(state, diags))
-                flat = both[:4 * n_nodes]
-                dg = both[4 * n_nodes:].reshape(4, wlen)
-            else:
-                dg = np.asarray(pack_diag(diags)).reshape(4, wlen)
-                if do_save:
-                    gs = extract(state)
-                    flat = np.concatenate(
-                        [np.asarray(gs.N), np.asarray(gs.b),
-                         np.asarray(gs.q[:, 0]), np.asarray(gs.q[:, 1])])
-                else:
-                    flat = None
-            last = consume(i0, wlen, flat, dg)
-        if progress and (g_idx + 1) % 10 == 0:
-            done = last + 1
-            print(f"Time step {done} of {nt} completed ({done / nt * 100:.1f}%)",
-                  end="\r", flush=True)
+            item = ("single", grp, diags, state)
+        if pending is not None:
+            last = process(pending)
+            if progress and g_idx % 10 == 0:
+                done = last + 1
+                print(f"Time step {done} of {nt} completed "
+                      f"({done / nt * 100:.1f}%)", end="\r", flush=True)
+        pending = item
+    if pending is not None:
+        process(pending)
 
     wall = time.time() - t0
     state = extract(state)

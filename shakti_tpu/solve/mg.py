@@ -226,7 +226,7 @@ def _make_cheb(matvec, inv_d, lmax, deg: int, frac: float, dtype):
 def make_multilevel(J_c, mesh, dirichlet, a_diag, matvec, *,
                     omega: float = 0.8, smoother: str = "jacobi",
                     cheb_deg: int = 2, cheb_frac: float = 0.25,
-                    cycle: str = "v"):
+                    cycle: str = "v", smooth_p: float = 0.0):
     """Symmetric V(1,1)-cycle preconditioner apply for A = -J.
 
     ``matvec`` must be the SAME (regularized, Dirichlet-identity) fine
@@ -261,6 +261,22 @@ def make_multilevel(J_c, mesh, dirichlet, a_diag, matvec, *,
     grows ~2x per level (deep 10M hierarchies: ~6 levels -> ~60 extra
     small-kernel launches), which is noise on a pod but measurable
     through the dev tunnel.
+
+    ``smooth_p > 0`` smooths the FINE-level transfer operators (hybrid
+    smoothed aggregation): P_s = (I - w_p D^{-1}A) P_t with
+    w_p = smooth_p / lmax(D^{-1}A) (Gershgorin bound; the classical SA
+    weight is smooth_p = 4/3, Vanek/Mandel/Brezina 1996), and the
+    restriction stays the exact transpose P_s^T — so the cycle remains a
+    fixed SPD operator and plain CG stays valid.  The coarse hierarchy is
+    still Galerkin-assembled from the TENTATIVE (piecewise-constant) P —
+    the true SA Galerkin product P_s^T A P_s has distance-2 sparsity and
+    would need an on-device sparse triple product per Newton iteration;
+    the hybrid keeps the assembly path unchanged and buys the better
+    coarse SUBSPACE (range of P_s spans smoothed characteristic vectors)
+    at +2 fine matvecs per apply.  Deeper-level transfers stay tentative:
+    their level operators already mismatch P_s, and per-level smoothing
+    multiplies kernel launches the way the W-cycle does (see caveat
+    above).
     """
     from shakti_tpu.fem.ops import ein
 
@@ -275,7 +291,8 @@ def make_multilevel(J_c, mesh, dirichlet, a_diag, matvec, *,
     d0 = jnp.where(jnp.abs(a_diag) < tiny, 1.0, a_diag)
     inv_d0 = jnp.where(dirichlet, 0.0, w / d0)
     cheb = smoother == "cheb"
-    if cheb:
+    sp = smooth_p > 0.0
+    if cheb or sp:
         # Gershgorin bound for the fine level: lambda_max(D^-1 A) <=
         # 1 + max_i offabs_i / a_ii, offabs from element-block |.| sums
         # (one scatter per Newton operator build — off the Krylov path)
@@ -292,6 +309,7 @@ def make_multilevel(J_c, mesh, dirichlet, a_diag, matvec, *,
         lmax0 = jnp.max(ratio)
         if halo is not None:
             lmax0 = jax.lax.pmax(lmax0, halo.axis)
+    if cheb:
         smooth0 = _make_cheb(matvec, jnp.where(dirichlet, 0.0, 1.0 / d0),
                              lmax0, cheb_deg, cheb_frac, dtype)
     if halo is not None:
@@ -320,6 +338,25 @@ def make_multilevel(J_c, mesh, dirichlet, a_diag, matvec, *,
             # replicated xc + locally-known aggregate ids: consistent on
             # ghosts by construction, no halo push needed
             return xc[plan.agg_fine]
+
+    if sp:
+        # hybrid-SA fine transfers: P_s = (I - w_p D^{-1}A) P_t and its
+        # exact transpose (see docstring); w_p from the Gershgorin bound
+        w_p = jnp.asarray(smooth_p, dtype) / lmax0
+        inv_dp = jnp.where(dirichlet, 0.0, 1.0 / d0)
+
+        def restrict_t(r):              # P_s^T r = P_t^T (I - w_p A D^{-1}) r
+            rm = r - w_p * matvec(inv_dp * r)
+            return restrict_fine(jnp.where(dirichlet, 0.0, rm))
+
+        def prolong_t(xc):              # P_s xc, zero on Dirichlet rows
+            p = jnp.where(dirichlet, 0.0, prolong_fine(xc))
+            return p - w_p * (inv_dp * matvec(p))
+    else:
+        restrict_t = restrict_fine
+
+        def prolong_t(xc):
+            return jnp.where(dirichlet, 0.0, prolong_fine(xc))
 
     def coarse_solve(r):
         return ein("ij,j->i", A_inv, r)
@@ -373,9 +410,9 @@ def make_multilevel(J_c, mesh, dirichlet, a_diag, matvec, *,
         r0 = jnp.where(dirichlet, 0.0, r)
         x = smooth0(None, r0, True) if cheb else inv_d0 * r0
         rr = r0 - matvec(x)
-        rc = restrict_fine(rr)
+        rc = restrict_t(rr)
         xc = solve_level(0, rc)
-        x = x + jnp.where(dirichlet, 0.0, prolong_fine(xc))
+        x = x + prolong_t(xc)
         x = (smooth0(x, r0, False) if cheb
              else x + inv_d0 * (r0 - matvec(x)))
         return jnp.where(dirichlet, r, x)

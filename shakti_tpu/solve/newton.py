@@ -78,6 +78,11 @@ class NewtonConfig:
     # aggregation depth fix, at geometric extra replicated-compute cost
     # and ~2x-per-level kernel count.  See solve/mg.py:make_multilevel.
     mg_cycle: str = "v"
+    # > 0 smooths the fine-level transfer operators (hybrid smoothed
+    # aggregation, classical weight 4/3) at +2 fine matvecs per apply;
+    # 0 = tentative (piecewise-constant) transfers.  See
+    # solve/mg.py:make_multilevel for the trade and measurements.
+    mg_smooth_p: float = 0.0
     # Aggregate size for the two-level coarse grid.  None = auto: resolved
     # at api/model.freeze (single-chip: cap the dense coarse problem at
     # ~1.5k dofs) or parallel/dist.build_distributed (per-shard sizing);
@@ -364,7 +369,8 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
                                        mg_smoother=cfg.mg_smoother,
                                        mg_cheb_deg=cfg.mg_cheb_deg,
                                        mg_cheb_frac=cfg.mg_cheb_frac,
-                                       mg_cycle=cfg.mg_cycle)
+                                       mg_cycle=cfg.mg_cycle,
+                                       mg_smooth_p=cfg.mg_smooth_p)
         rhs = r                                             # A dN = F (r == masked F)
         dN, lin_info = lin_solve(matvec, rhs, minv,
                                  rtol=cfg.lin_rtol, atol=0.1 * atol_eff,

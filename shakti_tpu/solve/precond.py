@@ -180,7 +180,7 @@ def make_preconditioner(name: str, J_c, mesh, dirichlet, a_diag,
                         coarse_block: int = 64, *, matvec=None,
                         mg_omega: float = 0.8, mg_smoother: str = "jacobi",
                         mg_cheb_deg: int = 2, mg_cheb_frac: float = 0.25,
-                        mg_cycle: str = "v"):
+                        mg_cycle: str = "v", mg_smooth_p: float = 0.0):
     dtype = a_diag.dtype
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     if name == "mg" and mesh.paxis is None:
@@ -193,7 +193,8 @@ def make_preconditioner(name: str, J_c, mesh, dirichlet, a_diag,
             return make_multilevel(J_c, mesh, dirichlet, a_diag, matvec,
                                    omega=mg_omega, smoother=mg_smoother,
                                    cheb_deg=mg_cheb_deg,
-                                   cheb_frac=mg_cheb_frac, cycle=mg_cycle)
+                                   cheb_frac=mg_cheb_frac, cycle=mg_cycle,
+                                   smooth_p=mg_smooth_p)
         name = "two_level"
     if name == "two_level" and mesh.paxis is None:
         if mesh.halo is not None:

@@ -265,3 +265,55 @@ def test_distributed_mg_matches_single_device(ndev):
     cg1 = int(np.asarray(d1["cg_iters"]).sum())
     cg2 = int(np.asarray(d2["cg_iters"]).sum())
     assert cg2 <= 1.5 * cg1 + 8, (cg1, cg2)
+
+
+def test_mg_smoothed_prolongation_matches_tentative():
+    """mg_smooth_p>0 (hybrid smoothed-aggregation fine transfers, exact
+    transpose pair) must converge to the same trajectory as tentative
+    transfers — the cycle stays a fixed SPD operator, so plain CG remains
+    valid — without costing more CG iterations (the smoothed coarse
+    subspace is strictly richer)."""
+    outs = {}
+    for spv in (0.0, 4.0 / 3.0):
+        md = _problem(nx=40, ny=40, precond="mg", mg_agg=4,
+                      mg_coarse_cap=16, mg_smooth_p=spv)
+        mesh, static, state, cfg = md.freeze()
+        assert mesh.mg is not None
+        step = make_step_fn(mesh, static, md.params, cfg)
+        dts = timestep_sizes(md.timesteps, dtype=md.dtype)[:3]
+        s, d = jax.jit(lambda a, b: run_window(step, a, b))(state, dts)
+        assert bool(np.asarray(d["converged"]).all()), spv
+        outs[spv] = (md.to_user_order(np.asarray(s.N)),
+                     int(np.asarray(d["cg_iters"]).sum()))
+    np.testing.assert_allclose(outs[4.0 / 3.0][0], outs[0.0][0], rtol=1e-7)
+    assert outs[4.0 / 3.0][1] <= outs[0.0][1] + 2, outs
+
+
+def test_distributed_mg_smoothed_p_matches_single_device():
+    """The halo-path smoothed-P transfers (fine matvecs inside restrict/
+    prolong do their own halo exchange; the Gershgorin w_p is pmax'd
+    identical on every shard) must reproduce the single-device smoothed-P
+    trajectory."""
+    from shakti_tpu.parallel.dist import gather_state, make_distributed_runner
+    from shakti_tpu.parallel.shard import make_device_mesh
+
+    def build():
+        return _problem(nx=32, ny=32, precond="mg", mg_agg=4,
+                        mg_coarse_cap=16, mg_smooth_p=4.0 / 3.0)
+
+    md1 = build()
+    mesh, static, state, cfg = md1.freeze()
+    step = make_step_fn(mesh, static, md1.params, cfg)
+    dts = timestep_sizes(md1.timesteps, dtype=md1.dtype)[:3]
+    s1, d1 = jax.jit(lambda a, b: run_window(step, a, b))(state, dts)
+    assert bool(np.asarray(d1["converged"]).all())
+    N1 = md1.to_user_order(np.asarray(s1.N))
+
+    md2 = build()
+    md2.distributed = True
+    runner, st0, plan = make_distributed_runner(md2, make_device_mesh(4))
+    s2, d2 = runner(st0, dts)
+    assert bool(np.asarray(d2["converged"]).all())
+    g = gather_state(plan, s2)
+    N2 = np.asarray(g.N)[md2.node_iperm]
+    np.testing.assert_allclose(N1, N2, rtol=1e-8)
