@@ -306,8 +306,13 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         if io_on and last % nt_check == 0:
             write_histories()
             write_log()
+            # rolling checkpoints omit the carried operator (crash
+            # insurance only; the carry is a recomputable cache whose
+            # device->host pull + write dominates checkpoint cost — see
+            # io/checkpoint.save_state); the final checkpoint keeps it
+            # so planned resumes replay bit-exactly
             ckpt.save_state(rdir, extract(ck_state), last + 1, row,
-                            fingerprint=mesh_fp)
+                            fingerprint=mesh_fp, include_lag=False)
         return last
 
     def process(item):

@@ -28,13 +28,23 @@ def mesh_fingerprint(nodes) -> int:
 
 
 def save_state(results_dir: str, state: State, next_step: int, next_row: int,
-               fingerprint: int | None = None):
+               fingerprint: int | None = None, include_lag: bool = True):
+    """``include_lag=False`` omits the carried-operator tuple (a
+    recomputable optimization cache that dominates checkpoint volume —
+    the flagship's block-ELL carry is ~69 MB vs ~0.3 MB of marching
+    state, pulled through the device link and written to disk at every
+    rolling checkpoint).  The run layer passes False for ROLLING (crash
+    insurance) checkpoints and True for the final one, so a planned
+    resume — continuing from a completed solve() — replays bit-exactly,
+    while resuming from a mid-run crash checkpoint reseeds the carry
+    (first resumed step rebuilds instead of reusing; converges to the
+    same solution through a possibly different iteration path)."""
     path = os.path.join(results_dir, CHECKPOINT_FILE)
     tmp = path + ".tmp.npz"
     extra = {}
     if fingerprint is not None:
         extra["mesh_crc"] = np.uint32(fingerprint)
-    if state.lag_op is not None:
+    if state.lag_op is not None and include_lag:
         # persist the carried-operator tuple so a resumed run replays the
         # SAME iteration path as an uninterrupted one (bit-exact resume
         # under cfg.lag_operator; reseeding with zero_lag forces a rebuild
