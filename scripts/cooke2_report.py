@@ -173,6 +173,10 @@ def main(rdir="results/Cook_E2_370kpa",
             has_64 = False
     if has_64:
         dN, db, m = drift_series(res32, res64)
+        if m == 0:          # twin just started: memmap rows all still zero
+            print("# skipping f64 twin (no filled rows yet)", file=sys.stderr)
+            has_64 = False
+    if has_64:
         s = min(5, m)           # post-cold-start window (see note below)
         out["drift"] = {
             "rows_compared": int(m),
