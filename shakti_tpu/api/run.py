@@ -51,12 +51,25 @@ def _save_windows(nt: int, nt_save: int, start: int):
         i = nxt + 1
 
 
+def _ck_due(i0: int, last: int, nt_check: int) -> bool:
+    """True when steps [i0, last] contain a rolling-checkpoint event
+    (some step index that is a multiple of nt_check, step 0 included).
+    Save windows end at multiples of nt_save, so when nt_check is not a
+    multiple of nt_save the boundary falls mid-window — the checkpoint is
+    then written at that window's save, keeping the reference's
+    every-nt_check-steps cadence (solvers.py:217-223) to within one save
+    interval instead of silently never firing."""
+    return (last // nt_check) > ((i0 - 1) // nt_check)
+
+
 def _group_windows(windows, nt_check: int, max_group: int):
     """Group consecutive equal-length save windows so ONE device call (and
     ONE device->host pull of on-device-accumulated save rows) covers the
     whole group.  Groups are cut at checkpoint boundaries — the host needs
-    the full state there — and around irregular (first/partial/non-save)
-    windows, which run as singleton groups through the plain path."""
+    the full state there (consume's ck_state is the group-end state, so a
+    checkpoint window must end its group) — and around irregular
+    (first/partial/non-save) windows, which run as singleton groups
+    through the plain path."""
     cur = []
     for w in windows:
         i0, wlen, do_save = w
@@ -67,7 +80,7 @@ def _group_windows(windows, nt_check: int, max_group: int):
             yield [w]
             continue
         cur.append(w)
-        if (i0 + wlen - 1) % nt_check == 0 or len(cur) >= max_group:
+        if _ck_due(i0, i0 + wlen - 1, nt_check) or len(cur) >= max_group:
             yield cur
             cur = []
     if cur:
@@ -303,7 +316,7 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         log_rows.append((last, float(timesteps[last]), float(ni.mean()),
                          int(ni.max()), float(ci.mean()), float(rn.max())))
         row += 1
-        if io_on and last % nt_check == 0:
+        if io_on and _ck_due(i0, last, nt_check):
             write_histories()
             write_log()
             # rolling checkpoints omit the carried operator (crash

@@ -224,11 +224,13 @@ def test_group_windows_partition():
     """_group_windows must cover _save_windows exactly, in order, cutting
     groups at checkpoint boundaries and around irregular windows so the
     grouped device calls checkpoint with the correct end-of-group state."""
-    from shakti_tpu.api.run import _group_windows, _save_windows
+    from shakti_tpu.api.run import _ck_due, _group_windows, _save_windows
 
     for nt, nt_save, nt_check, max_g, start in [
             (101, 4, 16, 8, 0), (97, 24, 1200, 25, 0), (50, 4, 8, 64, 9),
-            (10, 1, 5, 3, 0), (25, 24, 48, 4, 0)]:
+            (10, 1, 5, 3, 0), (25, 24, 48, 4, 0),
+            # misaligned cadences: nt_check not a multiple of nt_save
+            (101, 4, 10, 8, 0), (120, 24, 30, 25, 0), (60, 8, 3, 4, 5)]:
         ws = list(_save_windows(nt, nt_save, start))
         grps = list(_group_windows(ws, nt_check, max_g))
         assert [w for g in grps for w in g] == ws
@@ -239,7 +241,7 @@ def test_group_windows_partition():
                 assert all(w[2] and w[1] == g[0][1] for w in g)
             # checkpoint boundaries only at the last window of a group
             for w in g[:-1]:
-                assert (w[0] + w[1] - 1) % nt_check != 0
+                assert not _ck_due(w[0], w[0] + w[1] - 1, nt_check)
 
 
 def test_grouped_run_matches_singleton(tmp_path, monkeypatch):
@@ -264,3 +266,34 @@ def test_grouped_run_matches_singleton(tmp_path, monkeypatch):
     log1 = open(os.path.join(str(md1.results_name), "log.csv")).read()
     log2 = open(os.path.join(str(md2.results_name), "log.csv")).read()
     assert log1.splitlines()[1:] == log2.splitlines()[1:]
+
+
+def test_rolling_checkpoints_fire_on_misaligned_cadence(tmp_path, monkeypatch):
+    """nt_check that is not a multiple of nt_save must still produce rolling
+    checkpoints at the first save past each nt_check boundary (previously
+    the write fired only when a save step landed exactly on a multiple of
+    nt_check — e.g. nt_save=24, nt_check=25 silently checkpointed every
+    600 steps instead of ~25)."""
+    from shakti_tpu.api import run as run_mod
+
+    calls = []
+    real = run_mod.ckpt.save_state
+
+    def spy(rdir, state, next_step, next_row, **kw):
+        calls.append((next_step, kw.get("include_lag", True)))
+        return real(rdir, state, next_step, next_row, **kw)
+
+    monkeypatch.setattr(run_mod.ckpt, "save_state", spy)
+    md = make_md(tmp_path, name="ckpt_misaligned")
+    md.nt_save = 4
+    md.nt_check = 6                      # nt = 20: steps 0..19
+    solve(md, progress=False)
+    rolling = [s for s, lag in calls if not lag]
+    # windows [0], [1-4], [5-8], [9-12], [13-16], [17-19 non-save];
+    # boundaries at steps 0, 6, 12 fall inside windows ending 0, 8, 12
+    # (the step-18 boundary lands in the final non-save window, covered
+    # by the end-of-run checkpoint).  The old exact-multiple rule only
+    # fired at step 0 here.
+    assert rolling == [1, 9, 13]
+    # final full checkpoint still written once, with the carry included
+    assert [s for s, lag in calls if lag] == [20]
