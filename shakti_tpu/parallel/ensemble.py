@@ -31,8 +31,12 @@ def perturbed_ensemble(state: State, n_members: int, *, b_scale: float = 5e-4,
     for _ in range(n_members):
         db = jnp.asarray(rng.normal(scale=b_scale, size=state.b.shape),
                          state.b.dtype)
+        # carry the seeded lag-operator tuple (api/model.freeze) so the
+        # vmapped step's carry pytree matches the single-run one; each
+        # member gets its own (stacked) carry
         members.append(State(N=state.N, b=state.b + db, q=state.q,
-                             melt=state.melt, N_prev=state.N_prev))
+                             melt=state.melt, N_prev=state.N_prev,
+                             lag_op=state.lag_op))
     return stack_states(members)
 
 

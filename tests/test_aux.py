@@ -32,6 +32,26 @@ def test_ensemble_vmap_matches_member_runs():
                                rtol=1e-10)
 
 
+def test_ensemble_carries_lag_operator():
+    """perturbed_ensemble must propagate the seeded lag-operator carry
+    (api/model.freeze) into every member — dropping it leaves lag_op=None
+    and the vmapped scan carry pytree mismatches the step output (the
+    default TPU config has lag_operator auto-on, so the production
+    ensemble path is the lag path)."""
+    md = slab.initialize(nx=8, ny=8, days=1.0, nt_per_day=4)
+    md.solver = dataclasses.replace(md.solver, lag_operator=True,
+                                    adaptive_dt_levels=0)
+    mesh, static, state, cfg = md.freeze()
+    assert state.lag_op is not None
+    ens = perturbed_ensemble(state, 2, b_scale=2e-4, seed=1)
+    assert ens.lag_op is not None
+    runner = make_ensemble_runner(mesh, static, md.params, cfg)
+    dts = timestep_sizes(md.timesteps, dtype=md.dtype)[:2]
+    out, diags = runner(ens, dts)
+    assert bool(np.asarray(diags["converged"]).all())
+    assert out.lag_op is not None
+
+
 def test_adaptive_dt_halving_control_flow():
     """Unit test of the dt-halving retry wiring with a stub step that
     succeeds only below a dt threshold."""
