@@ -31,17 +31,28 @@ def perturbed_ensemble(state: State, n_members: int, *, b_scale: float = 5e-4,
     for _ in range(n_members):
         db = jnp.asarray(rng.normal(scale=b_scale, size=state.b.shape),
                          state.b.dtype)
-        # carry the seeded lag-operator tuple (api/model.freeze) so the
-        # vmapped step's carry pytree matches the single-run one; each
-        # member gets its own (stacked) carry
+        # no lag carry: make_ensemble_step_fn forces lag_operator=False
+        # (vmap lowers lax.cond to select — both branches execute — so the
+        # lagged path would rebuild the operator every step AND pay the
+        # carry's memory M times; measured on TPU at 12k dof: lag-on
+        # vmap M=2 cost 26.2 ms/step vs 7.0 unvmapped)
         members.append(State(N=state.N, b=state.b + db, q=state.q,
-                             melt=state.melt, N_prev=state.N_prev,
-                             lag_op=state.lag_op))
+                             melt=state.melt, N_prev=state.N_prev))
     return stack_states(members)
 
 
 def make_ensemble_step_fn(mesh, static, params, cfg):
-    """step(batched_state, dt) -> (batched_state, batched_diagnostics)."""
+    """step(batched_state, dt) -> (batched_state, batched_diagnostics).
+
+    Forces ``lag_operator=False``: under vmap, XLA lowers ``lax.cond`` to
+    ``select`` (both branches execute every step), so the lagged-operator
+    carry degrades to always-rebuild plus M carried copies of the folded
+    operator values — strictly worse than the plain path.  The plain step
+    is what vmap amortizes well: every kernel widens by the member axis
+    instead of multiplying the launch count."""
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, lag_operator=False)
     step = make_step_fn(mesh, static, params, cfg)
     return jax.vmap(step, in_axes=(0, None))
 
