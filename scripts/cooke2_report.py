@@ -159,6 +159,12 @@ def main(rdir="results/Cook_E2_370kpa",
         " | mm scale |",
         f"| peak off-lake flux (final) | {a32['max_offlake_flux_final_m2s']}"
         " m^2/s | — |",
+        "",
+        "Rendered battery (`python scripts/cooke2_figures.py`):",
+        "[lake level + filling rate](assets/figures/cooke2_lake_level.png) ·",
+        "[far-field N](assets/figures/cooke2_far_field.png) ·",
+        "[final fields N / b / |q|](assets/figures/cooke2_final_fields.png) ·",
+        "[f32-vs-f64 drift](assets/figures/cooke2_drift.png).",
     ]
 
     out = {"tpu": a32, "solver": s32, "meta": meta}
