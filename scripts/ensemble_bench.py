@@ -94,10 +94,13 @@ def main():
         print(f"# M={M}: {ms:.2f} ms/step = {ms / M:.2f} ms/member-step",
               file=sys.stderr)
 
-    base = rows[0]["ms_per_step"]
+    # amplification is only meaningful against a true single-run baseline
+    # (SHAKTI_ENS_MEMBERS may omit M=1, e.g. smoke tests)
+    base = next((r["ms_per_step"] for r in rows if r["members"] == 1), None)
     for r in rows:
-        r["throughput_vs_sequential"] = round(
+        r["throughput_vs_sequential"] = (round(
             base * r["members"] / r["ms_per_step"], 2)
+            if base is not None else None)
     out = {
         "metric": "ensemble_throughput_cooke2_scale",
         "n_nodes": int(mesh.n_nodes),

@@ -354,70 +354,76 @@ def suite_F(out, quick):
 
 def build_md(out):
     g = lambda c, k: out[c][k]
-    lines = [
-        "# SHMIP validation (suites A-F)",
-        "",
-        "## Suite A (distributed input)",
-        "",
-        "Framework (2D transient, CPU f64, 60x12 rectangle) vs the",
-        "independent 1D steady oracle (`oracle/shmip_oracle.py`, scipy",
-        "shooting) over the interior window x in [30, 90] km, plus exact",
-        "global mass conservation (`solve/diagnostics.py`).",
-        "",
-        "| case | input [m/s] | years | relN (window) | relb (window) | "
-        "y-spread @50km | Q_out [m^3/s] | Q_src [m^3/s] | imbalance |",
-        "|---|---|---|---|---|---|---|---|---|",
-    ]
-    for c in ("A1", "A3", "A5"):
-        last = out[c]["yearly"][-1]
-        lines.append(
-            f"| {c} | {shmip.CASES_A[c]:.3g} | {g(c, 'years')} "
-            f"| {last['relN_win']:.2e} | {last['relb_win']:.2e} "
-            f"| {last['yspread_50km']:.3f} "
-            f"| {g(c, 'Q_out'):.3f} | {g(c, 'Q_src'):.3f} "
-            f"| {g(c, 'imbalance'):.1e} |")
-    lines += [
-        "",
-        "## Suite B (moulins)",
-        "",
-        "n equal-rate moulins summing to the A5-equivalent 90 m^3/s, on the",
-        "A1 distributed background (seeded-uniform positions — SHMIP's",
-        "coordinate files are not redistributable; the metrics below are",
-        "position-robust).  `relN(B, A5)` compares the y-averaged window",
-        "N profile against the A5 distributed run: the many-moulins limit",
-        "(B5) must approach the distributed case.",
-        "",
-        "| case | moulins | window mean N [MPa] | relN(B, A5) | "
-        "Q_out [m^3/s] | Q_src [m^3/s] | imbalance |",
-        "|---|---|---|---|---|---|---|",
-    ]
-    for c in ("B1", "B2", "B3", "B4", "B5"):
-        lines.append(
-            f"| {c} | {g(c, 'moulins')} | {g(c, 'winN_MPa'):.3f} "
-            f"| {g(c, 'relN_vs_A5'):.3f} | {g(c, 'Q_out'):.3f} "
-            f"| {g(c, 'Q_src'):.3f} | {g(c, 'imbalance'):.1e} |")
-    lines += [
-        "",
-        "## Suite C (diurnal forcing)",
-        "",
-        "B5 moulin input modulated inputs(t) = inputs max(0, 1 + Ra",
-        "sin(2 pi t/day)), continued from the spun-up B5 state; the",
-        "window-mean-N oscillation over the final two cycles must grow",
-        "monotonically with the forcing amplitude Ra.  (The diurnal",
-        "forcing rectifies the nonlinear system toward low mean N — the",
-        "SHMIP-documented strong diurnal response — so amplitudes are",
-        "reported absolute, not mean-relative.)",
-        "",
-        "| case | Ra | cycle-mean N [MPa] | N amplitude [MPa] |",
-        "|---|---|---|---|",
-    ]
-    for c in ("C1", "C2", "C3", "C4"):
-        lines.append(f"| {c} | {g(c, 'Ra')} "
-                     f"| {g(c, 'N_mean_cycle') / 1e6:.3f} "
-                     f"| {g(c, 'N_amp_MPa'):.3f} |")
-    lines.append("")
-    lines.append("Amplitude monotonic in Ra: "
-                 f"**{out['C_amplitude_monotonic']}**.")
+    lines = ["# SHMIP validation (suites A-F)", ""]
+    # every suite block is gated on its results being present (the cache
+    # file may hold a subset when regenerated with --suites), mirroring
+    # the D/E/F guards below — an ungated KeyError here would throw away
+    # hours of suite compute at the final rewrite
+    if "A5" in out:
+        lines += [
+            "## Suite A (distributed input)",
+            "",
+            "Framework (2D transient, CPU f64, 60x12 rectangle) vs the",
+            "independent 1D steady oracle (`oracle/shmip_oracle.py`, scipy",
+            "shooting) over the interior window x in [30, 90] km, plus exact",
+            "global mass conservation (`solve/diagnostics.py`).",
+            "",
+            "| case | input [m/s] | years | relN (window) | relb (window) | "
+            "y-spread @50km | Q_out [m^3/s] | Q_src [m^3/s] | imbalance |",
+            "|---|---|---|---|---|---|---|---|---|",
+        ]
+        for c in ("A1", "A3", "A5"):
+            last = out[c]["yearly"][-1]
+            lines.append(
+                f"| {c} | {shmip.CASES_A[c]:.3g} | {g(c, 'years')} "
+                f"| {last['relN_win']:.2e} | {last['relb_win']:.2e} "
+                f"| {last['yspread_50km']:.3f} "
+                f"| {g(c, 'Q_out'):.3f} | {g(c, 'Q_src'):.3f} "
+                f"| {g(c, 'imbalance'):.1e} |")
+    if "B5" in out:
+        lines += [
+            "",
+            "## Suite B (moulins)",
+            "",
+            "n equal-rate moulins summing to the A5-equivalent 90 m^3/s, on the",
+            "A1 distributed background (seeded-uniform positions — SHMIP's",
+            "coordinate files are not redistributable; the metrics below are",
+            "position-robust).  `relN(B, A5)` compares the y-averaged window",
+            "N profile against the A5 distributed run: the many-moulins limit",
+            "(B5) must approach the distributed case.",
+            "",
+            "| case | moulins | window mean N [MPa] | relN(B, A5) | "
+            "Q_out [m^3/s] | Q_src [m^3/s] | imbalance |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for c in ("B1", "B2", "B3", "B4", "B5"):
+            lines.append(
+                f"| {c} | {g(c, 'moulins')} | {g(c, 'winN_MPa'):.3f} "
+                f"| {g(c, 'relN_vs_A5'):.3f} | {g(c, 'Q_out'):.3f} "
+                f"| {g(c, 'Q_src'):.3f} | {g(c, 'imbalance'):.1e} |")
+    if "C4" in out:
+        lines += [
+            "",
+            "## Suite C (diurnal forcing)",
+            "",
+            "B5 moulin input modulated inputs(t) = inputs max(0, 1 + Ra",
+            "sin(2 pi t/day)), continued from the spun-up B5 state; the",
+            "window-mean-N oscillation over the final two cycles must grow",
+            "monotonically with the forcing amplitude Ra.  (The diurnal",
+            "forcing rectifies the nonlinear system toward low mean N — the",
+            "SHMIP-documented strong diurnal response — so amplitudes are",
+            "reported absolute, not mean-relative.)",
+            "",
+            "| case | Ra | cycle-mean N [MPa] | N amplitude [MPa] |",
+            "|---|---|---|---|",
+        ]
+        for c in ("C1", "C2", "C3", "C4"):
+            lines.append(f"| {c} | {g(c, 'Ra')} "
+                         f"| {g(c, 'N_mean_cycle') / 1e6:.3f} "
+                         f"| {g(c, 'N_amp_MPa'):.3f} |")
+        lines.append("")
+        lines.append("Amplitude monotonic in Ra: "
+                     f"**{out['C_amplitude_monotonic']}**.")
     if "D5" in out:
         lines += [
             "",
@@ -516,23 +522,26 @@ def build_md(out):
             "elevation kills the cold-end melt season, shows the strict",
             "monotone response.)",
         ]
+    if "A1" in out:
+        lines += [
+            "",
+            "## Reading (suite A)",
+            "",
+            "- **A1** (low input, laminar sheet): the 2D transient converges to",
+            "  the y-uniform steady branch and matches the independent oracle to",
+            "  a few 1e-4 relative in N — the quantitative SHMIP anchor.",
+            "- **A3/A5** (high input): the y-uniform branch is UNSTABLE — the",
+            "  sheet self-organizes laterally (y-spread grows over years; the",
+            "  channelization behavior SHAKTI is designed to capture, Sommers",
+            "  et al. 2018 §4).  Early-time (year 1) profiles still track the",
+            "  1D oracle to a few %; at long horizon only y-averaged structure",
+            "  and the conservation identities are comparable.",
+            "- **Conservation**: boundary discharge (reaction-force identity)",
+            "  vs independently quadratured interior production, at the final",
+            "  state.  For the steady A1 these also match the oracle's margin",
+            f"  discharge (A1 oracle: {out['A1']['Q_oracle']:.3f} m^3/s).",
+        ]
     lines += [
-        "",
-        "## Reading (suite A)",
-        "",
-        "- **A1** (low input, laminar sheet): the 2D transient converges to",
-        "  the y-uniform steady branch and matches the independent oracle to",
-        "  a few 1e-4 relative in N — the quantitative SHMIP anchor.",
-        "- **A3/A5** (high input): the y-uniform branch is UNSTABLE — the",
-        "  sheet self-organizes laterally (y-spread grows over years; the",
-        "  channelization behavior SHAKTI is designed to capture, Sommers",
-        "  et al. 2018 §4).  Early-time (year 1) profiles still track the",
-        "  1D oracle to a few %; at long horizon only y-averaged structure",
-        "  and the conservation identities are comparable.",
-        "- **Conservation**: boundary discharge (reaction-force identity)",
-        "  vs independently quadratured interior production, at the final",
-        "  state.  For the steady A1 these also match the oracle's margin",
-        f"  discharge (A1 oracle: {out['A1']['Q_oracle']:.3f} m^3/s).",
         "",
         "Published SHMIP tuning note: de Fleurian et al. (2018) report",
         "per-model mean-N profiles that differ across the 13 participating",
@@ -571,10 +580,12 @@ def main(quick=False, suites="ABCDEF"):
         suite_E(out, quick)
     if "F" in suites:
         suite_F(out, quick)
-    with open(os.path.join(ROOT, "SHMIP.md"), "w") as f:
-        f.write("\n".join(build_md(out)) + "\n")
+    # persist the (hours-of-compute) results cache BEFORE rendering the
+    # markdown, so a rendering error cannot lose them
     with open(CACHE, "w") as f:
         json.dump(out, f, indent=1)
+    with open(os.path.join(ROOT, "SHMIP.md"), "w") as f:
+        f.write("\n".join(build_md(out)) + "\n")
     print("wrote SHMIP.md + scripts/shmip_results.json")
 
 

@@ -279,7 +279,8 @@ def solve(md, *, resume: bool = False, progress: bool = True):
 
     if pack_all is not None:
         row_elems = 4 * n_nodes + 4 * nt_save
-        max_group = max(1, min(64, int(32e6 / (4 * row_elems))))
+        itemsize = _jnp.dtype(md.dtype).itemsize    # f64 rows are 2x f32
+        max_group = max(1, min(64, int(32e6 / (itemsize * row_elems))))
         if os.environ.get("SHAKTI_RUN_GROUP"):       # A/B + test override
             max_group = max(1, int(os.environ["SHAKTI_RUN_GROUP"]))
     else:

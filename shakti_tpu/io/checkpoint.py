@@ -49,10 +49,11 @@ def save_state(results_dir: str, state: State, next_step: int, next_row: int,
         # SAME iteration path as an uninterrupted one (bit-exact resume
         # under cfg.lag_operator; reseeding with zero_lag forces a rebuild
         # on the first resumed step, diverging the stall-floor iterates)
-        ok, age, vals, a_diag, A_inv, floor = state.lag_op
+        ok, age, vals, a_diag, A_inv, floor, fage = state.lag_op
         extra.update(lag_ok=np.asarray(ok), lag_age=np.asarray(age),
                      lag_vals=np.asarray(vals), lag_adiag=np.asarray(a_diag),
-                     lag_floor=np.asarray(floor))
+                     lag_floor=np.asarray(floor),
+                     lag_floor_age=np.asarray(fage))
         if A_inv is not None:
             extra["lag_Ainv"] = np.asarray(A_inv)
     np.savez(tmp,
@@ -87,16 +88,17 @@ def load_state(results_dir: str, dtype=None, fingerprint: int | None = None):
         f = (lambda a: jnp.asarray(a, dtype=dtype)) if dtype else jnp.asarray
         np_prev = z["N_prev"] if "N_prev" in z.files else z["N"]
         lag_op = None
-        if "lag_vals" in z.files and "lag_floor" in z.files:
+        if "lag_vals" in z.files and "lag_floor_age" in z.files:
             # carried-operator tuple: restore with exact dtypes (bool flag,
-            # int32 age, state-dtype values).  Checkpoints from before the
-            # carried-floor extension lack lag_floor and are reseeded by
-            # the run layer (shape/structure mismatch).
+            # int32 ages, state-dtype values).  Checkpoints from before the
+            # carried-floor / floor-age extensions lack these keys and are
+            # reseeded by the run layer (shape/structure mismatch).
             lag_op = (jnp.asarray(bool(z["lag_ok"])),
                       jnp.asarray(z["lag_age"], jnp.int32),
                       f(z["lag_vals"]), f(z["lag_adiag"]),
                       f(z["lag_Ainv"]) if "lag_Ainv" in z.files else None,
-                      f(z["lag_floor"]))
+                      f(z["lag_floor"]),
+                      jnp.asarray(z["lag_floor_age"], jnp.int32))
         state = State(N=f(z["N"]), b=f(z["b"]), q=f(z["q"]), melt=f(z["melt"]),
                       N_prev=f(np_prev), lag_op=lag_op)
         return state, int(z["next_step"]), int(z["next_row"])

@@ -36,6 +36,33 @@ def _find_lib():
     return None
 
 
+def _expected_hash(lib_path: str) -> str | None:
+    """sha256(shakti_native.cpp)[:16] for the source next to the .so, or
+    None when no source is present (installed binary: nothing to check)."""
+    src = os.path.join(os.path.dirname(lib_path), "shakti_native.cpp")
+    if not os.path.exists(src):
+        return None
+    import hashlib
+    with open(src, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+def _looks_stale(lib_path: str) -> bool:
+    """Staleness probe that does NOT dlopen: the build stamps the source
+    hash into .rodata, so a fresh binary contains the expected hex string
+    verbatim.  Checking before any CDLL matters — dlopen caches by path,
+    so a rebuild after loading would relink over a live mapping and the
+    re-CDLL would return the stale cached handle anyway."""
+    expected = _expected_hash(lib_path)
+    if expected is None:
+        return False
+    try:
+        with open(lib_path, "rb") as f:
+            return expected.encode() not in f.read()
+    except OSError:
+        return True
+
+
 def _hash_ok(L, lib_path: str) -> bool:
     """The binary embeds sha256(shakti_native.cpp)[:16] at build time; when
     the source file sits next to the .so, a mismatch means the binary is
@@ -86,6 +113,11 @@ def lib():
     path = _find_lib()
     if path is None:
         path = _try_build()
+    elif _looks_stale(path):
+        # Rebuild BEFORE the first dlopen (see _looks_stale).  If the
+        # toolchain is absent keep the old path: _hash_ok below still
+        # arbitrates (e.g. accepts a stampless custom build).
+        path = _try_build() or path
     if path is None:
         return None
     try:
@@ -93,16 +125,7 @@ def lib():
     except OSError:
         return None
     if not _hash_ok(L, path):
-        # stale binary vs edited source: rebuild once, else numpy fallbacks
-        path = _try_build()
-        if path is None:
-            return None
-        try:
-            L = ctypes.CDLL(path)
-        except OSError:
-            return None
-        if not _hash_ok(L, path):
-            return None
+        return None  # stale and unrebuildable: numpy fallbacks
     i64, i32, u8, f64 = (ctypes.c_int64, ctypes.c_int32, ctypes.c_uint8,
                          ctypes.c_double)
     P = ctypes.POINTER

@@ -183,9 +183,13 @@ class NewtonConfig:
 
 
 def zero_lag(mesh, dirichlet_dtype, cfg: NewtonConfig):
-    """Invalid-but-shape-correct lag_op carry (ok=False, age=0, zero
+    """Invalid-but-shape-correct lag_op carry (ok=False, ages=0, zero
     values/floor) for seeding State.lag_op before the first step
-    (see cfg.lag_operator)."""
+    (see cfg.lag_operator).  Slots: (ok, age, vals, a_diag, A_inv,
+    floor, floor_age) — floor_age tracks the sensitivity-floor probe's
+    own staleness separately from the operator's (the operator age
+    resets on every mid-solve rebuild, which must not silently extend
+    the probe's lifetime; see the SHAKTI_LAG_FLOOR gate)."""
     from shakti_tpu.physics import residual as res
     dtype = dirichlet_dtype
     vals = jnp.zeros(res.operator_values_shape(mesh), dtype)
@@ -198,7 +202,7 @@ def zero_lag(mesh, dirichlet_dtype, cfg: NewtonConfig):
     else:
         A_inv = None
     return (jnp.asarray(False), jnp.asarray(0, jnp.int32), vals, a_diag,
-            A_inv, jnp.asarray(0.0, dtype))
+            A_inv, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32))
 
 
 def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
@@ -212,9 +216,9 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
     (collapsed-sheet) directions with sub-floor residuals, so it is never
     accepted without at least one regularized Newton iteration.
 
-    ``lag``: carried operator (ok, age, vals, a_diag, A_inv, floor) when
-    cfg.lag_operator (see there); the updated carry is returned in
-    stats["lag"].
+    ``lag``: carried operator (ok, age, vals, a_diag, A_inv, floor,
+    floor_age) when cfg.lag_operator (see there); the updated carry is
+    returned in stats["lag"].
 
     Returns (N, stats) with stats = dict(iters, rnorm0, rnorm, converged,
     cg_iters[, lag]).  Fully traceable; call under jit/scan.
@@ -272,7 +276,14 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
             rp = jnp.where(dirichlet, 0.0, rp)
             return norm(rp - r_ref)
 
-        floor_b = jax.lax.cond(carry_ok, lambda _: lag[5], fresh_floor, None)
+        # the floor is gated on its OWN age (lag[6]), not the operator's:
+        # mid-solve rebuilds reset the operator age with the floor still
+        # carried, so gating on lag[1] alone would let the probe go stale
+        # without bound across rebuild chains
+        floor_ok = carry_ok & (lag[6] <= cfg.lag_max_age)
+        floor_b = jax.lax.cond(floor_ok, lambda _: lag[5], fresh_floor, None)
+        floor_age_this = jnp.where(floor_ok, lag[6],
+                                   jnp.asarray(0, jnp.int32))
     else:
         # one batched assembly evaluates the trusted-state residual, the
         # guess residual AND the probe
@@ -283,6 +294,7 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         r_ref = cols[:, 0]
         r0 = cols[:, 1]
         floor_b = norm(cols[:, 2] - r_ref)
+        floor_age_this = jnp.asarray(0, jnp.int32)   # probed this step
     rnorm_ref = norm(r_ref)
     rnorm0 = norm(r0)
     atol_eff = jnp.maximum(jnp.asarray(cfg.atol, N0.dtype),
@@ -307,7 +319,7 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         A_inv = (pc.coarse_inverse(J_c, mesh, dirichlet, cfg.coarse_block)
                  if use_two_level else None)
         return (jnp.asarray(True), jnp.asarray(0, jnp.int32), vals, a_diag,
-                A_inv, floor_b)
+                A_inv, floor_b, floor_age_this)
 
     def cond(s):
         N, r, rnorm, N_best, rn_best, stall, k, cg_total, bad, done, op = s
@@ -324,7 +336,7 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         N, r, rnorm, N_best, rn_best, stall, k, cg_total, bad, done, op = s
         if reuse_op:
             # iteration 0 under cfg.lag_operator: the carried operator
-            _, _, vals, a_diag, A_inv, _ = op
+            _, _, vals, a_diag, A_inv, _, _ = op
             matvec0 = res.operator_from_values(vals, mesh, dirichlet)
         elif lag_on:
             # Rebuild at the current iterate and refresh the carry.
@@ -341,7 +353,7 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
             import os as _os
             reuse = _os.environ.get("SHAKTI_LAG_FOLD_REUSE", "0") == "1"
             op = build_op(N, stale_vals=op[2] if reuse else None)
-            _, _, vals, a_diag, A_inv, _ = op
+            _, _, vals, a_diag, A_inv, _, _ = op
             matvec0 = res.operator_from_values(vals, mesh, dirichlet)
         else:
             J_c = res.element_jacobian(N, pre, mesh, params)
@@ -450,5 +462,9 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         "cg_iters": cg_total,
     }
     if lag_on:
-        stats["lag"] = op_out
+        # the step's floor always enters the carry (even on reuse-only
+        # steps, where build_op never ran): a probe refreshed at step
+        # start must not be lost, or every following step would re-probe
+        # until the next rebuild
+        stats["lag"] = op_out[:5] + (floor_b, floor_age_this)
     return N_out, stats

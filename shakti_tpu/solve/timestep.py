@@ -169,8 +169,10 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
                                     lag=state.lag_op
                                     if cfg.lag_operator else None)
         if cfg.lag_operator:
-            ok, age, *rest = stats.pop("lag")
-            lag_out = (ok, age + 1, *rest)     # one step older per step
+            ok, age, vals, a_diag, A_inv, floor, fage = stats.pop("lag")
+            # one step older per step: both the operator age and the
+            # sensitivity-floor probe age (gated separately in newton_solve)
+            lag_out = (ok, age + 1, vals, a_diag, A_inv, floor, fage + 1)
         else:
             lag_out = state.lag_op             # pass-through (scan carry
             #                                    structure must be stable)

@@ -115,7 +115,7 @@ def test_lagged_operator_matches_plain_newton():
         if lag:
             # the carry is live: ok flag set, age bounded by the refresh
             # cap, values finite and nonzero
-            ok, age, vals, a_diag, A_inv, floor = s.lag_op
+            ok, age, vals, a_diag, A_inv, floor, fage = s.lag_op
             assert bool(np.asarray(ok))
             assert int(np.asarray(age)) <= c.lag_max_age + 1
             assert float(np.abs(np.asarray(vals)).max()) > 0
@@ -124,6 +124,41 @@ def test_lagged_operator_matches_plain_newton():
                                np.asarray(out[False].N), rtol=1e-7)
     np.testing.assert_allclose(np.asarray(out[True].b),
                                np.asarray(out[False].b), rtol=1e-7)
+
+
+def test_lag_floor_probe_age_bounded(monkeypatch):
+    """SHAKTI_LAG_FLOOR=1 carries the sensitivity-floor probe with its own
+    age (carry slot 6): a mid-solve operator rebuild resets the OPERATOR
+    age but must not extend the probe's lifetime, so the observed probe
+    age never exceeds lag_max_age + 1 and the trajectory stays close to
+    the per-step-probe path (the floor only shifts tolerances)."""
+    import dataclasses
+
+    from shakti_tpu.solve.newton import zero_lag
+
+    md = slab.initialize(nx=16, ny=16, days=2.0, nt_per_day=6)
+    md.operator = "bell"
+    mesh, static, state, cfg = md.freeze()
+    c = dataclasses.replace(cfg, lag_operator=True, adaptive_dt_levels=0)
+    s0 = dataclasses.replace(state, lag_op=zero_lag(mesh, md.dtype, c))
+    dts = timestep_sizes(md.timesteps, dtype=md.dtype)[:12]
+
+    def run(flag):
+        monkeypatch.setenv("SHAKTI_LAG_FLOOR", flag)
+        jstep = jax.jit(make_step_fn(mesh, static, md.params, c))
+        s, ages = s0, []
+        for dt in dts:              # stepwise so every carry is observable
+            s, d = jstep(s, dt)
+            assert bool(np.asarray(d["converged"]).all())
+            ages.append(int(np.asarray(s.lag_op[6])))
+        return s, ages
+
+    s_on, ages = run("1")
+    s_off, _ = run("0")
+    assert max(ages) <= c.lag_max_age + 1
+    assert float(np.asarray(s_on.lag_op[5])) > 0   # carried floor is live
+    np.testing.assert_allclose(np.asarray(s_on.N), np.asarray(s_off.N),
+                               rtol=1e-5)
 
 
 def test_lag_operator_auto_resolution():
