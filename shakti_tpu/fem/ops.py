@@ -120,7 +120,12 @@ def cellnodal_to_node_avg(mesh, v):
     wv = v * w[:, None] if v.ndim == 2 else v * w[:, None, None]
     s = scatter_add_cells(mesh, wv)
     na = mesh.node_area if v.ndim == 2 else mesh.node_area[:, None]
-    return s / na
+    # dead slots (zero node area: halo pad/dump slots, padded nodes) yield
+    # 0, not 0/0 = NaN — live-slot values are bit-identical (same division),
+    # but NaNs at dead slots poison reverse-mode AD through the step even
+    # though no forward consumer reads them
+    live = na > 0
+    return jnp.where(live, s / jnp.where(live, na, 1.0), 0.0)
 
 
 def interpolate_at_quad(phi, fc):

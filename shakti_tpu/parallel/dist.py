@@ -298,6 +298,10 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x"):
                  + (pl, rep)
                  + (rep, rep, pl, rep),
         out_specs=(pl, rep),
+        # vma tracking cannot type custom_vjp cotangents (see
+        # parallel/shard.py) — the differentiable path needs the legacy
+        # transpose; keep the check on for the plain production runner
+        check_vma=not cfg.differentiable,
     )
 
     ar = lambda k, dt=None: jnp.asarray(payload[k], dtype=dt)

@@ -73,8 +73,15 @@ def reynolds(q, p: PhysicalParams):
     is 0 and the derivative is never needed because Re enters the weak form
     as *frozen* (previous-step) data, outside the Newton linearization
     (reference solvers.py:28-45 freezes q during the N-solve).
+
+    Values are bit-identical to a plain sqrt; the where-guards only choose
+    the subgradient 0 at q == 0 (sqrt's AD rule there is inf -> NaN), so
+    reverse-mode transients (NewtonConfig.differentiable) stay finite at
+    the q = 0 initial state and at dead halo slots.
     """
-    return jnp.sqrt(jnp.sum(q * q, axis=-1)) / p.nu
+    s = jnp.sum(q * q, axis=-1)
+    live = s > 0
+    return jnp.where(live, jnp.sqrt(jnp.where(live, s, 1.0)), 0.0) / p.nu
 
 
 def melt_opening(q, grad_h, G, p: PhysicalParams):

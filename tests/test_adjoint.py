@@ -113,6 +113,49 @@ def test_initial_iterate_gets_zero_cotangent():
     np.testing.assert_array_equal(g, np.zeros_like(g))
 
 
+def test_distributed_adjoint_matches_single_device_and_fd():
+    """The IFT adjoint inside shard_map on the node-sharded halo path
+    (solve/implicit.py distributed adaptations): d(mean final N)/d(scale)
+    through a 5-step transient on 8 simulated devices must match both the
+    single-device adjoint and central finite differences — the cotangent
+    halo-accumulate, ghost-masked adjoint Krylov reductions, and
+    owned-row residual masking are all load-bearing here."""
+    from shakti_tpu.parallel.dist import make_distributed_runner
+    from shakti_tpu.parallel.shard import make_device_mesh
+
+    md = _md(differentiable=True)
+    mesh, state, step, dts = _window(md)
+    n = mesh.n_nodes
+
+    @jax.jit
+    def loss_single(scale):
+        forcing = {"dt": dts, "inputs_scale": jnp.full_like(dts, scale)}
+        out, _ = run_window(step, state, forcing)
+        return jnp.mean(out.N)
+
+    runner, state0, plan = make_distributed_runner(
+        _md(differentiable=True), make_device_mesh())
+    owned = jnp.asarray(plan["owned_mask"].reshape(-1), md.dtype)
+
+    @jax.jit
+    def loss_dist(scale):
+        forcing = {"dt": dts, "inputs_scale": jnp.full_like(dts, scale)}
+        out, _ = runner(state0, forcing)
+        return jnp.vdot(out.N * owned, owned) / n     # mean over owned rows
+
+    s0 = jnp.asarray(1.0, md.dtype)
+    # forward parity first (the usual dist-vs-single contract)
+    np.testing.assert_allclose(float(loss_dist(s0)), float(loss_single(s0)),
+                               rtol=1e-10)
+    g1 = float(jax.grad(loss_single)(s0))
+    g8 = float(jax.grad(loss_dist)(s0))
+    assert abs(g8 - g1) <= 1e-6 * abs(g1), (g8, g1)
+    h = 1e-5
+    fd = float((loss_dist(s0 + h) - loss_dist(s0 - h)) / (2 * h))
+    assert fd != 0.0
+    assert abs(g8 - fd) <= 2e-5 * abs(fd), (g8, fd)
+
+
 def test_lag_operator_rejected():
     md = _md(differentiable=True, lag_operator=True)
     mesh, static, state, cfg = md.freeze()
