@@ -106,7 +106,10 @@ def cell_to_node_avg(mesh, fc):
     contrib = jnp.broadcast_to(wf[:, None], (mesh.n_cells, 3) + wf.shape[1:])
     s = scatter_add_cells(mesh, contrib)
     na = mesh.node_area if fc.ndim == 1 else mesh.node_area[:, None]
-    return s / na
+    # dead slots (zero node area) yield 0, not 0/0 = NaN — same guard as
+    # cellnodal_to_node_avg below (NaNs at dead slots poison reverse-mode AD)
+    live = na > 0
+    return jnp.where(live, s / jnp.where(live, na, 1.0), 0.0)
 
 
 def cellnodal_to_node_avg(mesh, v):

@@ -15,13 +15,17 @@ the implicit-function theorem gives, for a loss cotangent ``ct`` on N*,
     A^T lambda = ct|_free        (A = -J, the forward Krylov operator)
     ct_pre     = (dF/dpre)^T lambda
 
-i.e. ONE adjoint Krylov solve per backward step — same matrix-free
-element-block operator, symmetric Dirichlet elimination, and degenerate-row
-diagonal floor as the forward iteration (solve/newton.py) — followed by one
-VJP of the residual assembly with N held fixed.  The adjoint operator is
-exact: the global Jacobian transpose assembles from the per-element
-transposed blocks (J^T = sum_c S_c J_c^T S_c^T), so the small
-dissipation-convection asymmetry of A is honored rather than ignored.
+i.e. ONE adjoint Krylov solve per backward step — same folded row-storage
+operator format (ELL/block-ELL/BCSR), symmetric Dirichlet elimination,
+degenerate-row diagonal floor, and preconditioner class (cfg.precond:
+mg / two-level / jacobi) as the forward iteration (solve/newton.py) —
+followed by one VJP of the residual assembly with N held fixed.  The
+adjoint operator is exact: the global Jacobian transpose assembles from
+the per-element transposed blocks (J^T = sum_c S_c J_c^T S_c^T), so the
+small dissipation-convection asymmetry of A is honored rather than
+ignored.  Adjoint Krylov non-convergence is warned loudly at runtime;
+``SHAKTI_ADJOINT_STRICT=1`` additionally poisons the affected gradient
+with NaN.
 
 Gradients flow into everything ``pre`` depends on — the previous state
 (b, q, melt, N_n), dt, and the per-step forcing (inputs scale, degree-day
@@ -50,6 +54,9 @@ step in ``jax.checkpoint`` for long horizons (the example does).
 
 from __future__ import annotations
 
+import dataclasses
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -57,13 +64,13 @@ import numpy as np
 
 from shakti_tpu.physics import residual as res
 from shakti_tpu.solve import krylov
-from shakti_tpu.solve.precond import make_jacobi
+from shakti_tpu.solve.precond import make_preconditioner
 
 
 def _zero_cotangent(x):
     """Zero cotangent for a custom_vjp primal leaf: zeros for inexact
     dtypes, float0 for integer/bool leaves (jax's convention)."""
-    aval = jax.core.get_aval(x)
+    aval = jax.typeof(x)
     if jnp.issubdtype(aval.dtype, jnp.inexact):
         return jnp.zeros(aval.shape, aval.dtype)
     return np.zeros(aval.shape, jax.dtypes.float0)
@@ -82,9 +89,17 @@ def make_implicit_solver(mesh, dirichlet, dirichlet_value, params, cfg):
     node-sharded halo meshes (see module docstring for the three
     distributed adaptations).
     """
-    from shakti_tpu.solve.newton import newton_solve
+    from shakti_tpu.solve.newton import diag_floor_extra, newton_solve
 
     distributed = mesh.halo is not None
+    if cfg.coarse_block is None:
+        # direct callers (tests/scripts) may skip freeze's auto-resolution
+        cfg = dataclasses.replace(cfg, coarse_block=64)
+    # strict mode: poison gradients with NaN when the adjoint Krylov solve
+    # does not converge, instead of only warning — for production
+    # calibration/inversion where a silently inaccurate gradient is worse
+    # than a loud failure
+    strict = os.environ.get("SHAKTI_ADJOINT_STRICT", "0") == "1"
 
     # mesh / dirichlet / dirichlet_value are explicit custom_vjp ARGUMENTS,
     # not closures: inside shard_map their leaves are tracers, and a
@@ -119,27 +134,53 @@ def make_implicit_solver(mesh, dirichlet, dirichlet_value, params, cfg):
             # consistent cotangent in the owned/ghost representation
             ct_N = mesh.halo.accumulate(ct_N)
         # exact adjoint operator: transpose the element Jacobian blocks
-        # (global J^T = sum_c S_c J_c^T S_c^T), same symmetric elimination
-        # and degenerate-row floor as the forward solve (newton.py)
+        # (global J^T = sum_c S_c J_c^T S_c^T; in dist mode each shard
+        # transposes its local blocks, so the halo accumulate completes the
+        # global transpose exactly as it completes the forward operator).
+        # Folding the transposed blocks through make_operator gives the
+        # adjoint solve the same fast row-storage SpMV (ELL/block-ELL/BCSR)
+        # as the forward solve — the cell gather/scatter path serializes on
+        # TPU — and, in dist mode, the halo-ACCUMULATED diagonal (a
+        # shard-partial diagonal would make the Jacobi sweep and the floor
+        # inconsistent at interface nodes).
         J_c = res.element_jacobian(N, pre, mesh, params)
-        A_t0 = res.make_matvec(jnp.swapaxes(J_c, 1, 2), mesh, dirichlet)
-        a_diag = -res.jacobian_diag(J_c, mesh)        # diag(A), transpose-inv
-        dmax = jnp.max(jnp.where(dirichlet, 0.0, jnp.abs(a_diag)))
-        if owned is not None:
-            # SPMD consistency: same floor scale on every shard (newton.py)
-            dmax = jax.lax.pmax(dmax, mesh.halo.axis)
-        extra = jnp.where(
-            dirichlet, 0.0,
-            jnp.maximum(0.0, cfg.diag_floor_rel * dmax - a_diag))
+        J_t = jnp.swapaxes(J_c, 1, 2)
+        A_t0, a_diag = res.make_operator(J_t, mesh, dirichlet)
+        # same degenerate-row floor as the forward solve (shared helper —
+        # the adjoint is exact only while the two operators match)
+        extra = diag_floor_extra(a_diag, dirichlet, mesh, cfg.diag_floor_rel)
         A_t = lambda x: A_t0(x) + extra * x
         a_diag = a_diag + extra
-        tiny = jnp.asarray(jnp.finfo(N.dtype).tiny, N.dtype)
-        minv = make_jacobi(a_diag, dirichlet, tiny)
+        # same preconditioner class as the forward Newton iteration
+        # (newton.py non-lag path): mg / two-level / jacobi per cfg.precond.
+        # A Jacobi-only adjoint would silently need thousands of iterations
+        # at the halo scales where the forward solve requires the mg PC.
+        minv = make_preconditioner(
+            cfg.precond, J_t, mesh, dirichlet, a_diag, cfg.coarse_block,
+            matvec=A_t, mg_omega=cfg.mg_omega, mg_smoother=cfg.mg_smoother,
+            mg_cheb_deg=cfg.mg_cheb_deg, mg_cheb_frac=cfg.mg_cheb_frac,
+            mg_cycle=cfg.mg_cycle, mg_smooth_p=cfg.mg_smooth_p)
 
         rhs = jnp.where(dirichlet, 0.0, ct_N)
         lin_solve = krylov.get_solver(cfg.krylov)
-        lam, _info = lin_solve(A_t, rhs, minv=minv, rtol=cfg.lin_rtol,
-                               maxiter=cfg.lin_maxiter, dot=dot, norm=norm)
+        lam, info = lin_solve(A_t, rhs, minv=minv, rtol=cfg.lin_rtol,
+                              maxiter=cfg.lin_maxiter, dot=dot, norm=norm)
+        # surface adjoint non-convergence LOUDLY: the forward solve's
+        # converged flag reaches the API layer, but bwd has no stats
+        # channel — warn (always), and under SHAKTI_ADJOINT_STRICT=1
+        # poison the gradient with NaN so downstream optimizers cannot
+        # quietly consume an inaccurate one.
+        jax.lax.cond(
+            info["converged"], lambda: None,
+            lambda: jax.debug.print(
+                "shakti_tpu WARNING: adjoint Krylov solve unconverged "
+                "(resnorm {r} after {k} iters) — gradients from this step "
+                "may be inaccurate; raise NewtonConfig.lin_maxiter or "
+                "strengthen cfg.precond", r=info["resnorm"],
+                k=info["iters"]))
+        if strict:
+            lam = jnp.where(info["converged"], lam,
+                            jnp.full_like(lam, jnp.nan))
         # A^T lambda = ct  =>  ct_pre = (dF/dpre)^T lambda  (see module doc;
         # lambda vanishes on Dirichlet rows because A acts as identity there
         # and rhs is masked, so the row masking of F is immaterial).

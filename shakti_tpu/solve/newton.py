@@ -163,8 +163,11 @@ class NewtonConfig:
     # transients are reverse-mode differentiable (calibration/inversion —
     # a capability the reference's PETSc stack lacks entirely).  One extra
     # adjoint Krylov solve per step on the backward pass; forward cost and
-    # trajectories are unchanged.  Incompatible with lag_operator (set it
-    # to False explicitly) and the distributed halo path.
+    # trajectories are unchanged.  Works on single-device meshes AND the
+    # node-sharded distributed halo path (the adjoint halo-accumulates the
+    # per-shard cotangent and masks the residual VJP to owned rows — see
+    # solve/implicit.py).  Incompatible with lag_operator (stateful
+    # operator carry; set it to False explicitly).
     differentiable: bool = False
 
     def for_dtype(self, dtype) -> "NewtonConfig":
@@ -180,6 +183,22 @@ class NewtonConfig:
                 inc_rtol=max(self.inc_rtol, 1e-6),
             )
         return self
+
+
+def diag_floor_extra(a_diag, dirichlet, mesh, rel):
+    """Degenerate-row diagonal floor (see NewtonConfig.diag_floor_rel):
+    the per-row increment that lifts near-zero (collapsed-sheet) operator
+    rows to ``rel * max|diag|``.  The max is pmax'd over the mesh axis in
+    node-sharded SPMD mode so every shard floors identically.
+
+    Single source of truth shared by the forward Newton operator (below)
+    and the adjoint operator in solve/implicit.py — the IFT adjoint is the
+    exact transpose only while both apply the identical floor."""
+    dmax = jnp.max(jnp.where(dirichlet, 0.0, jnp.abs(a_diag)))
+    if mesh.halo is not None:
+        dmax = jax.lax.pmax(dmax, mesh.halo.axis)
+    return jnp.where(dirichlet, 0.0,
+                     jnp.maximum(0.0, rel * dmax - a_diag))
 
 
 def zero_lag(mesh, dirichlet_dtype, cfg: NewtonConfig):
@@ -359,12 +378,7 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
             J_c = res.element_jacobian(N, pre, mesh, params)
             matvec0, a_diag = res.make_operator(J_c, mesh, dirichlet)
         # regularize degenerate (clamped-sheet) rows: see diag_floor_rel
-        dmax = jnp.max(jnp.where(dirichlet, 0.0, jnp.abs(a_diag)))
-        if mesh.halo is not None:
-            # SPMD consistency: the floor scale must be identical everywhere
-            dmax = jax.lax.pmax(dmax, mesh.halo.axis)
-        extra = jnp.where(dirichlet, 0.0,
-                          jnp.maximum(0.0, cfg.diag_floor_rel * dmax - a_diag))
+        extra = diag_floor_extra(a_diag, dirichlet, mesh, cfg.diag_floor_rel)
         matvec = lambda x: matvec0(x) + extra * x
         a_diag = a_diag + extra
         if lag_on:
