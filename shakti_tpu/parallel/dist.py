@@ -158,6 +158,24 @@ def build_distributed(md, jmesh, axis: str = "x"):
     loc = lambda f: H.localize_nodal(plan, np.asarray(f))
     L = plan["L"]
 
+    # global node id per local slot (owned + ghost; dead slots alias node 0
+    # with live_mask False).  Stored on the plan as the DIFFERENTIABLE
+    # localization map: `f_global[glob_ids.reshape(-1)] * live_mask` is a
+    # jnp gather producing the stacked (P*L,) layout, whose AD transpose
+    # scatter-ADDS ghost cotangents back into their global dofs — the
+    # field-control inversion path (make_distributed_runner control=...).
+    glob_ids = np.zeros((Pn, L), dtype=np.int64)
+    live = np.zeros((Pn, L), dtype=bool)
+    for p in range(Pn):
+        s = plan["starts"][p]
+        glob_ids[p, :plan["sizes"][p]] = np.arange(s, s + plan["sizes"][p])
+        live[p, :plan["sizes"][p]] = True
+        gl = np.where(plan["g2l"][p] >= plan["omax"])[0]
+        glob_ids[p, plan["g2l"][p][gl]] = gl
+        live[p, plan["g2l"][p][gl]] = True
+    plan["glob_ids"] = glob_ids
+    plan["live_mask"] = live
+
     # Per-shard assembled-operator format on the local numbering (Krylov
     # matvecs become local gather/matmul work + one halo accumulate,
     # instead of cell gather + element matvec + scatter per iteration).
@@ -216,12 +234,6 @@ def build_distributed(md, jmesh, axis: str = "x"):
         # (padding cells alias cell 0's slots but carry zero Jacobians)
         map9_g = np.asarray(mg_plan.map9).reshape(c, 9)
         payload["mg_map9"] = map9_g[cell_ids].reshape(-1, 9)  # (P*cmax, 9)
-        glob_ids = np.zeros((Pn, L), dtype=np.int64)
-        for p in range(Pn):
-            s = plan["starts"][p]
-            glob_ids[p, :plan["sizes"][p]] = np.arange(s, s + plan["sizes"][p])
-            gl = np.where(plan["g2l"][p] >= plan["omax"])[0]
-            glob_ids[p, plan["g2l"][p][gl]] = gl
         payload["mg_agg_fine"] = (glob_ids // cfg.mg_agg).astype(
             np.int32).reshape(-1)                             # (P*L,)
     plan["coarse_m"] = coarse_m
@@ -230,9 +242,21 @@ def build_distributed(md, jmesh, axis: str = "x"):
     return payload, plan, cfg
 
 
-def make_distributed_runner(md, jmesh=None, axis: str = "x"):
+def make_distributed_runner(md, jmesh=None, axis: str = "x",
+                            control: str | None = None):
     """(runner, state0_stacked, plan): runner(state, dts) -> (state, diags)
-    with state arrays stacked (P*L, ...) and diags replicated."""
+    with state arrays stacked (P*L, ...) and diags replicated.
+
+    ``control``: optionally expose one nodal static field ("inputs", "G",
+    or "storage" — fields with no freeze-time derived precomputes) as a
+    runtime argument instead of a baked-in constant: the runner signature
+    becomes runner(field_stacked, state, dts) with field_stacked in the
+    same (P*L,) layout as the state arrays.  Combined with
+    cfg.differentiable this is the DISTRIBUTED field-inversion path: build
+    the stacked field inside the loss as
+    ``f_global[plan['glob_ids'].reshape(-1)] * plan['live_mask']`` (a jnp
+    gather), and reverse-mode AD scatter-adds each shard's ghost-slot
+    cotangents back into the global control dofs."""
     jmesh = jmesh or make_device_mesh()
     payload, plan, cfg = build_distributed(md, jmesh, axis)
     params = md.params
@@ -327,9 +351,26 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x"):
                if mg_plan is not None else ((), (), ())]
             + [ar("N_bdry", dtype), ar("b_min", dtype)])
 
-    @jax.jit
-    def runner(state, dts):
-        return sharded(*args, state, dts)
+    if control is None:
+        @jax.jit
+        def runner(state, dts):
+            return sharded(*args, state, dts)
+    else:
+        # positional index of the field in body(...)/args — nodal fields
+        # only, and only those without freeze-time derived precomputes
+        # (z_b/z_s are excluded: gb0 is computed from them at freeze)
+        ctrl_idx = {"G": 9, "inputs": 10, "storage": 11}
+        if control not in ctrl_idx:
+            raise ValueError(f"control must be one of {set(ctrl_idx)}, "
+                             f"got '{control}'")
+        ci = ctrl_idx[control]
+        assert len(args) == 23, "args layout changed — update ctrl_idx"
+
+        @jax.jit
+        def runner(field, state, dts):
+            a = list(args)
+            a[ci] = field
+            return sharded(*a, state, dts)
 
     return runner, state0, plan
 
