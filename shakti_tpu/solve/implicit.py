@@ -67,6 +67,28 @@ from shakti_tpu.solve import krylov
 from shakti_tpu.solve.precond import make_preconditioner
 
 
+_HAS_DEBUG_CB: bool | None = None
+
+
+def _supports_debug_callback() -> bool:
+    """Whether the active backend supports host callbacks (jax.debug.print).
+    The axon TPU tunnel does not ("axon_pjrt does not support host
+    send/recv callbacks") — there the adjoint non-convergence warning is
+    skipped and SHAKTI_ADJOINT_STRICT=1 (pure in-graph NaN poisoning)
+    remains the loud failure mode.  Probed once per process with a no-op
+    callback."""
+    global _HAS_DEBUG_CB
+    if _HAS_DEBUG_CB is None:
+        try:
+            jax.block_until_ready(jax.jit(
+                lambda x: (jax.debug.callback(lambda: None), x + 1.0)[1]
+            )(jnp.zeros(())))
+            _HAS_DEBUG_CB = True
+        except Exception:
+            _HAS_DEBUG_CB = False
+    return _HAS_DEBUG_CB
+
+
 def _zero_cotangent(x):
     """Zero cotangent for a custom_vjp primal leaf: zeros for inexact
     dtypes, float0 for integer/bool leaves (jax's convention)."""
@@ -167,17 +189,19 @@ def make_implicit_solver(mesh, dirichlet, dirichlet_value, params, cfg):
                               maxiter=cfg.lin_maxiter, dot=dot, norm=norm)
         # surface adjoint non-convergence LOUDLY: the forward solve's
         # converged flag reaches the API layer, but bwd has no stats
-        # channel — warn (always), and under SHAKTI_ADJOINT_STRICT=1
-        # poison the gradient with NaN so downstream optimizers cannot
-        # quietly consume an inaccurate one.
-        jax.lax.cond(
-            info["converged"], lambda: None,
-            lambda: jax.debug.print(
-                "shakti_tpu WARNING: adjoint Krylov solve unconverged "
-                "(resnorm {r} after {k} iters) — gradients from this step "
-                "may be inaccurate; raise NewtonConfig.lin_maxiter or "
-                "strengthen cfg.precond", r=info["resnorm"],
-                k=info["iters"]))
+        # channel — warn (where the backend supports host callbacks; the
+        # axon tunnel does not), and under SHAKTI_ADJOINT_STRICT=1 poison
+        # the gradient with NaN so downstream optimizers cannot quietly
+        # consume an inaccurate one.
+        if _supports_debug_callback():
+            jax.lax.cond(
+                info["converged"], lambda: None,
+                lambda: jax.debug.print(
+                    "shakti_tpu WARNING: adjoint Krylov solve unconverged "
+                    "(resnorm {r} after {k} iters) — gradients from this "
+                    "step may be inaccurate; raise NewtonConfig.lin_maxiter "
+                    "or strengthen cfg.precond", r=info["resnorm"],
+                    k=info["iters"]))
         if strict:
             lam = jnp.where(info["converged"], lam,
                             jnp.full_like(lam, jnp.nan))

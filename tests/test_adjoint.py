@@ -242,6 +242,36 @@ def test_distributed_field_gradient_matches_single_device():
     assert abs(gdir - fd) <= 1e-4 * abs(fd), (gdir, fd)
 
 
+def test_strict_mode_poisons_unconverged_adjoint(monkeypatch):
+    """SHAKTI_ADJOINT_STRICT=1: an adjoint Krylov solve that cannot
+    converge (lin_maxiter=1) must poison the gradient with NaN — loud
+    failure instead of a silently inaccurate gradient.  The forward
+    trajectory is untouched (the cap only binds the backward solve here:
+    forward Newton still certifies via its own stats)."""
+    def grad_with(strict: bool):
+        if strict:
+            monkeypatch.setenv("SHAKTI_ADJOINT_STRICT", "1")
+        else:
+            monkeypatch.delenv("SHAKTI_ADJOINT_STRICT", raising=False)
+        md = _md(steps=2, differentiable=True, lin_maxiter=1, max_iter=60,
+                 lin_rtol=1e-12)
+        mesh, state, step, dts = _window(md)
+
+        @jax.jit
+        def loss(b0):
+            out, _ = run_window(step, dataclasses.replace(state, b=b0),
+                                dts[:1])
+            return jnp.mean(out.N)
+
+        return np.asarray(jax.grad(loss)(state.b))
+
+    # default mode: the (inaccurate) gradient flows through finite
+    g_loose = grad_with(False)
+    assert np.isfinite(g_loose).all()
+    g = grad_with(True)
+    assert np.isnan(g).all(), "strict mode did not poison the gradient"
+
+
 def test_lag_operator_rejected():
     md = _md(differentiable=True, lag_operator=True)
     mesh, static, state, cfg = md.freeze()
