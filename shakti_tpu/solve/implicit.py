@@ -67,26 +67,22 @@ from shakti_tpu.solve import krylov
 from shakti_tpu.solve.precond import make_preconditioner
 
 
-_HAS_DEBUG_CB: bool | None = None
+def _warn_enabled() -> bool:
+    """Whether to embed the adjoint non-convergence jax.debug.print.
 
-
-def _supports_debug_callback() -> bool:
-    """Whether the active backend supports host callbacks (jax.debug.print).
-    The axon TPU tunnel does not ("axon_pjrt does not support host
-    send/recv callbacks") — there the adjoint non-convergence warning is
-    skipped and SHAKTI_ADJOINT_STRICT=1 (pure in-graph NaN poisoning)
-    remains the loud failure mode.  Probed once per process with a no-op
-    callback."""
-    global _HAS_DEBUG_CB
-    if _HAS_DEBUG_CB is None:
-        try:
-            jax.block_until_ready(jax.jit(
-                lambda x: (jax.debug.callback(lambda: None), x + 1.0)[1]
-            )(jnp.zeros(())))
-            _HAS_DEBUG_CB = True
-        except Exception:
-            _HAS_DEBUG_CB = False
-    return _HAS_DEBUG_CB
+    debug.print lowers to a host send/recv callback, which not every TPU
+    runtime supports (the axon tunnel plugin raises UNIMPLEMENTED at
+    execution) — and a capability PROBE is unreliable when this is reached
+    mid-trace (measured: the gated program still carried the callback).
+    So the policy is static and dispatch-free: on by default off-TPU,
+    off by default on TPU; SHAKTI_ADJOINT_WARN=1/0 overrides either way
+    (set =1 on directly-attached TPUs, which do support callbacks).
+    SHAKTI_ADJOINT_STRICT=1 (pure in-graph NaN poisoning) is the loud
+    failure mode that works on every backend."""
+    env = os.environ.get("SHAKTI_ADJOINT_WARN")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "tpu"
 
 
 def _zero_cotangent(x):
@@ -189,11 +185,11 @@ def make_implicit_solver(mesh, dirichlet, dirichlet_value, params, cfg):
                               maxiter=cfg.lin_maxiter, dot=dot, norm=norm)
         # surface adjoint non-convergence LOUDLY: the forward solve's
         # converged flag reaches the API layer, but bwd has no stats
-        # channel — warn (where the backend supports host callbacks; the
-        # axon tunnel does not), and under SHAKTI_ADJOINT_STRICT=1 poison
-        # the gradient with NaN so downstream optimizers cannot quietly
+        # channel — warn (where the backend supports host callbacks; see
+        # _warn_enabled), and under SHAKTI_ADJOINT_STRICT=1 poison the
+        # gradient with NaN so downstream optimizers cannot quietly
         # consume an inaccurate one.
-        if _supports_debug_callback():
+        if _warn_enabled():
             jax.lax.cond(
                 info["converged"], lambda: None,
                 lambda: jax.debug.print(
