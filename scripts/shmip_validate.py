@@ -26,10 +26,15 @@ and in the overdeepened trough band.
 Suite F (F1-F5, seasonal forcing on the E1 valley): amplitude of the
 glacier-mean N monotone in dT.
 
+Suite S (steady cross-check): A1/A3/A5 solved DIRECTLY with the
+pseudo-transient-continuation steady solver (md.solve_steady) and judged
+against the same 1D oracle — transient marching and PTC must land on the
+same state.
+
 Results are cached per-suite in scripts/shmip_results.json; SHMIP.md is
 regenerated from the cache, so suites can be (re)run selectively:
 
-    python scripts/shmip_validate.py [--quick] [--suites ABCDEF]
+    python scripts/shmip_validate.py [--quick] [--suites ABCDEFS]
 """
 
 import json
@@ -254,6 +259,38 @@ def suite_A(out, quick):
     return A5
 
 
+def suite_S(out, quick):
+    """Suite S (steady-solver cross-check): solve A1/A3/A5 DIRECTLY with
+    md.solve_steady (pseudo-transient continuation, solve/steady.py) and
+    judge against the same independent 1D oracle the transients are judged
+    against.  Two entirely different routes — years of hourly marching vs
+    a few hundred SER pseudo-steps — must land on the same steady state
+    (compare relN_win here with suite A's), and each must conserve mass."""
+    print("== suite S: direct steady solves of A1/A3/A5 ==", flush=True)
+    for case in ("A1", "A3", "A5"):
+        t0 = time.time()
+        md = shmip.initialize(case, nx=60, ny=12, days=30, nt_per_day=24)
+        res = md.solve_steady(tol=1e-2 if quick else 1e-3, max_steps=20000)
+        p = steady_profile(case)
+        x = md.x
+        No = np.interp(x, p["x"], p["N"])
+        bo = np.interp(x, p["x"], p["b"])
+        win = (x > WINDOW[0]) & (x < WINDOW[1])
+        info = res["info"]
+        Q_out, Q_src = float(res["Q_out"]), float(res["Q_src"])
+        m = {"ptc_steps": info["steps"], "newton": info["newton_total"],
+             "drift_per_yr": info["rate"],
+             "relN_win": float(np.linalg.norm(res["N"][win] - No[win])
+                               / np.linalg.norm(No[win])),
+             "relb_win": float(np.linalg.norm(res["b"][win] - bo[win])
+                               / np.linalg.norm(bo[win])),
+             "Q_out": Q_out, "Q_src": Q_src,
+             "imbalance": abs(Q_out - Q_src) / max(abs(Q_src), 1e-30),
+             "wall_s": round(time.time() - t0, 1)}
+        out["S_" + case] = m
+        print(f"S_{case}: {json.dumps(m)}", flush=True)
+
+
 def suite_B(out, quick, A5):
     A5_md, A5_state = A5
     xs_a5, prof_a5 = ymean_profile(A5_md, np.asarray(A5_state.N))
@@ -380,6 +417,31 @@ def build_md(out):
                 f"| {last['yspread_50km']:.3f} "
                 f"| {g(c, 'Q_out'):.3f} | {g(c, 'Q_src'):.3f} "
                 f"| {g(c, 'imbalance'):.1e} |")
+    if "S_A5" in out:
+        lines += [
+            "",
+            "## Suite S (direct steady solves — PTC cross-check)",
+            "",
+            "The same A1/A3/A5 equilibria found DIRECTLY by the",
+            "pseudo-transient-continuation steady solver (`md.solve_steady`,",
+            "`solve/steady.py` — a capability the reference lacks), judged",
+            "against the same independent 1D oracle as suite A: two",
+            "disjoint routes (years of hourly marching vs a few hundred SER",
+            "pseudo-steps) landing on the same state, each conserving mass.",
+            "",
+            "| case | PTC steps | Newton | drift [/yr] | relN (window) | "
+            "relb (window) | Q_out [m^3/s] | Q_src [m^3/s] | imbalance | "
+            "wall [s] |",
+            "|---|---|---|---|---|---|---|---|---|---|",
+        ]
+        for c in ("A1", "A3", "A5"):
+            s = out["S_" + c]
+            lines.append(
+                f"| {c} | {s['ptc_steps']} | {s['newton']} "
+                f"| {s['drift_per_yr']:.1e} | {s['relN_win']:.2e} "
+                f"| {s['relb_win']:.2e} | {s['Q_out']:.3f} "
+                f"| {s['Q_src']:.3f} | {s['imbalance']:.1e} "
+                f"| {s['wall_s']:.0f} |")
     if "B5" in out:
         lines += [
             "",
@@ -552,7 +614,7 @@ def build_md(out):
         "setups/setup_shmip.py); the conservation and monotone-response",
         "checks used are robust to the remaining free choices.  This",
         "artifact is regenerated per suite by",
-        "`python scripts/shmip_validate.py --suites ABCDEF`.",
+        "`python scripts/shmip_validate.py --suites ABCDEFS`.",
     ]
     return lines
 
@@ -580,6 +642,8 @@ def main(quick=False, suites="ABCDEF"):
         suite_E(out, quick)
     if "F" in suites:
         suite_F(out, quick)
+    if "S" in suites:
+        suite_S(out, quick)
     # persist the (hours-of-compute) results cache BEFORE rendering the
     # markdown, so a rendering error cannot lose them
     with open(CACHE, "w") as f:

@@ -27,13 +27,14 @@ from shakti_tpu.params import PhysicalParams, DEFAULT_PARAMS  # noqa: F401
 def __getattr__(name):
     """Lazy top-level API (avoids importing jax at package import):
 
-    ModelSetup, solve, NewtonConfig, rectangle_mesh, polygon_mesh, read_msh,
-    post (module)."""
+    ModelSetup, solve, solve_steady, NewtonConfig, rectangle_mesh,
+    polygon_mesh, read_msh, post (module)."""
     import importlib
 
     lazy = {
         "ModelSetup": ("shakti_tpu.api.model", "ModelSetup"),
         "solve": ("shakti_tpu.api.run", "solve"),
+        "solve_steady": ("shakti_tpu.api.steady", "solve_steady"),
         "NewtonConfig": ("shakti_tpu.solve.newton", "NewtonConfig"),
         "rectangle_mesh": ("shakti_tpu.mesh.generate", "rectangle_mesh"),
         "polygon_mesh": ("shakti_tpu.mesh.generate", "polygon_mesh"),

@@ -169,10 +169,11 @@ class ModelSetup:
         a = np.asarray(arr)
         return a if self.node_iperm is None else a[self.node_iperm]
 
-    def validate(self):
+    def validate(self, require_timesteps: bool = True):
         """Fail early with actionable messages (the reference crashes with
         raw TypeErrors when e.g. OutflowBoundary is unset, solvers.py:22)."""
-        if self.timesteps is None or np.size(self.timesteps) < 2:
+        if require_timesteps and (self.timesteps is None
+                                  or np.size(self.timesteps) < 2):
             raise ValueError(
                 "md.timesteps must be an array of at least 2 times "
                 "(e.g. np.linspace(0, t_final, n_steps))")
@@ -202,7 +203,10 @@ class ModelSetup:
         matvecs run on the MXU (fem/bell.py).  ``self.node_iperm`` is set to
         the solver-order -> user-order permutation; the run layer uses it so
         all outputs stay in the caller's original node order."""
-        self.validate()
+        # timesteps are a run-layer concern (api/run.py validates them);
+        # freezing only needs mesh/fields/BCs (steady solves have no
+        # timesteps at all)
+        self.validate(require_timesteps=False)
         op = self.operator
         if op == "auto":
             if jax.default_backend() == "tpu":
@@ -315,3 +319,12 @@ class ModelSetup:
         (reference model_setup.py:118-119 delegating to solvers.solve)."""
         from shakti_tpu.api.run import solve as _solve
         return _solve(self, **kw)
+
+    def solve_steady(self, **kw):
+        """Solve directly for the steady state (pseudo-transient
+        continuation, api/steady.py — a capability the reference lacks;
+        its users spin up by marching md.timesteps for years).
+        ``md.timesteps`` is optional here (it only seeds the initial
+        pseudo-dt when present)."""
+        from shakti_tpu.api.steady import solve_steady as _steady
+        return _steady(self, **kw)

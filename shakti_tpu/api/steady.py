@@ -1,0 +1,105 @@
+"""User-level steady-state driver: ``solve_steady(md)``.
+
+The direct counterpart to the "spin up for N years and hope" workflow the
+reference imposes (its only time axis is md.timesteps): freezes the model,
+marches the pseudo-transient continuation (solve/steady.py) to the
+requested drift tolerance in ONE device program, and returns the steady
+state in the caller's node order with a conservation certificate.
+
+Typical use (SHMIP-style steady cases, initial conditions for transients,
+far-field equilibrium checks)::
+
+    md = setups.setup_shmip.initialize("A3", ...)
+    out = solve_steady(md, tol=1e-3)          # < 0.1% drift per year
+    N_steady = out["N"]; b_steady = out["b"]
+
+The transient machinery is untouched: trajectories of ``md.solve()`` stay
+bit-identical (the semi-implicit gap update exists only on this path).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from shakti_tpu.solve.steady import YEAR, make_steady_step, steady_solve
+
+
+def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
+                 max_steps=2000, max_rel_change=0.5, stab_safety=2.0,
+                 budget=True):
+    """Solve the model to steady state (drift < ``tol`` per ``t_ref``).
+
+    Returns a dict: steady nodal fields ``N``/``b``/``qx``/``qy`` (caller
+    node order), the raw solver-order ``state``, ``info`` (host scalars:
+    converged/steps/accepted/rejected/rate_N/rate_b/dt/t_pseudo/
+    newton_total/cg_total/wall_s), and — when ``budget`` — the global
+    conservation certificate ``Q_out``/``Q_src`` (boundary discharge vs
+    interior production, solve/diagnostics.py; the two agree at a true
+    steady state).
+
+    Raises ``ConvergenceError`` when ``max_steps`` PTC attempts did not
+    reach ``tol`` (the partial state rides on the exception for triage).
+    """
+    md.validate(require_timesteps=False)
+    if dt0 is None:
+        dt0 = 3600.0
+        if md.timesteps is not None and np.size(md.timesteps) >= 2:
+            ts = np.asarray(md.timesteps, dtype=np.float64)
+            dt0 = float(np.abs(np.diff(ts)).mean())
+    kw = dict(dt0=dt0, dt_max=dt_max, tol=tol, t_ref=t_ref,
+              max_steps=max_steps, max_rel_change=max_rel_change,
+              stab_safety=stab_safety)
+
+    if getattr(md, "distributed", False):
+        # node-sharded halo path: the same PTC while-loop under shard_map
+        # (psum'd norms keep every decision shard-consistent)
+        from shakti_tpu.parallel.dist import (gather_state,
+                                              make_distributed_steady_runner)
+        runner, st0, plan = make_distributed_steady_runner(md, **kw)
+        t0 = time.time()
+        state_stacked, dinfo = runner(st0)
+        state = gather_state(plan, state_stacked)
+    else:
+        mesh, static, state0, cfg = md.freeze()
+        if state0.lag_op is not None:
+            import dataclasses
+            state0 = dataclasses.replace(state0, lag_op=None)
+        step, cfg = make_steady_step(mesh, static, md.params, cfg)
+        runner = jax.jit(lambda s: steady_solve(
+            step, s, rho_i=md.params.rho_i, mesh=mesh, **kw))
+        t0 = time.time()
+        state, dinfo = runner(state0)
+    info = {k: (float(v) if np.asarray(v).dtype.kind == "f" else int(v))
+            for k, v in dinfo.items()}
+    info["converged"] = bool(dinfo["converged"])
+    info["wall_s"] = round(time.time() - t0, 3)
+
+    if not info["converged"]:
+        from shakti_tpu.api.run import ConvergenceError
+        err = ConvergenceError(
+            f"steady solve did not reach tol={tol:g} per {t_ref:g} s in "
+            f"{max_steps} PTC steps (final drift rate "
+            f"{info['rate']:.3e}, {info['rejected']} rejected); loosen tol,"
+            f" raise max_steps, or lower stab_safety")
+        err.state, err.info = state, info
+        raise err
+
+    out = {"state": state, "info": info}
+    unp = md.node_iperm if md.node_iperm is not None else slice(None)
+    out["N"] = np.asarray(state.N)[unp]
+    out["b"] = np.asarray(state.b)[unp]
+    q = np.asarray(state.q)
+    out["qx"], out["qy"] = q[unp, 0], q[unp, 1]
+    if budget:
+        from shakti_tpu.solve import diagnostics as diag
+        if getattr(md, "distributed", False):
+            # the budget reductions run single-device on the gathered state
+            mesh, static, _, cfg = md.freeze()
+        out["Q_out"] = diag.boundary_discharge(mesh, static, state,
+                                               md.params, cfg.quad_degree)
+        out["Q_src"] = diag.water_production(mesh, static, state, md.params,
+                                             cfg.quad_degree)
+    return out

@@ -57,10 +57,19 @@ def main(argv=None):
                     help="persistent XLA compilation cache directory "
                          "(also via SHAKTI_COMPILE_CACHE); repeat runs "
                          "skip the minutes-long large-mesh compiles")
+    ap.add_argument("--steady", action="store_true",
+                    help="solve directly for the steady state "
+                         "(pseudo-transient continuation) instead of "
+                         "marching md.timesteps; writes steady.npz + "
+                         "steady_info.json to <results_name>_steady/")
+    ap.add_argument("--steady-tol", type=float, default=1e-2, metavar="TOL",
+                    help="steady drift tolerance per year (default 1e-2)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
-    from shakti_tpu.utils.backend import enable_compile_cache
+    from shakti_tpu.utils.backend import (enable_compile_cache,
+                                          honor_platforms_env)
+    honor_platforms_env()
     cache_dir = enable_compile_cache(args.compile_cache)
     if cache_dir and not args.quiet:
         print(f"compilation cache: {cache_dir}")
@@ -77,6 +86,32 @@ def main(argv=None):
         md.setup_file = setup.__file__
     if args.dist:
         md.distributed = True
+    if args.steady:
+        import json
+
+        import numpy as np
+        out = md.solve_steady(tol=args.steady_tol)
+        info = out["info"]
+        print(f"\nsteady state in {info['steps']} PTC steps "
+              f"({info['rejected']} rejected, {info['newton_total']} Newton)"
+              f" — drift {info['rate']:.2e}/t_ref, wall {info['wall_s']:.2f} s")
+        if "Q_out" in out:
+            print(f"mass budget: boundary discharge {float(out['Q_out']):.6g}"
+                  f" vs production {float(out['Q_src']):.6g} m^3/s")
+        if md.results_name is not None:
+            rdir = f"{md.results_name}_steady"
+            os.makedirs(rdir, exist_ok=True)
+            np.savez(os.path.join(rdir, "steady.npz"), N=out["N"],
+                     b=out["b"], qx=out["qx"], qy=out["qy"])
+            info_j = dict(info)
+            for k in ("Q_out", "Q_src"):
+                if k in out:
+                    info_j[k] = float(out[k])
+            with open(os.path.join(rdir, "steady_info.json"), "w") as f:
+                json.dump(info_j, f, indent=1)
+            if not args.quiet:
+                print(f"wrote {rdir}/steady.npz")
+        return 0
     out = md.solve(resume=args.resume, progress=not args.quiet)
     print(f"\ncompleted {out['steps']} steps in {out['wall_time']:.2f} s "
           f"({1e3 * out['wall_time'] / max(out['steps'], 1):.3f} ms/step)")

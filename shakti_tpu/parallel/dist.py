@@ -242,46 +242,23 @@ def build_distributed(md, jmesh, axis: str = "x"):
     return payload, plan, cfg
 
 
-def make_distributed_runner(md, jmesh=None, axis: str = "x",
-                            control: str | None = None):
-    """(runner, state0_stacked, plan): runner(state, dts) -> (state, diags)
-    with state arrays stacked (P*L, ...) and diags replicated.
-
-    ``control``: optionally expose one nodal static field ("inputs", "G",
-    or "storage" — fields with no freeze-time derived precomputes) as a
-    runtime argument instead of a baked-in constant: the runner signature
-    becomes runner(field_stacked, state, dts) with field_stacked in the
-    same (P*L,) layout as the state arrays.  Combined with
-    cfg.differentiable this is the DISTRIBUTED field-inversion path: build
-    the stacked field inside the loss as
-    ``f_global[plan['glob_ids'].reshape(-1)] * plan['live_mask']`` (a jnp
-    gather), and reverse-mode AD scatter-adds each shard's ghost-slot
-    cotangents back into the global control dofs."""
-    jmesh = jmesh or make_device_mesh()
-    payload, plan, cfg = build_distributed(md, jmesh, axis)
-    params = md.params
-
-    pl = P(axis)
-    rep = P()
-    cell_keys = ("cells", "area", "grads", "valid", "gb0")
-    nodal_keys = ("nodes", "node_area", "z_b", "z_s", "G", "inputs",
-                  "storage", "dirichlet")
-    halo_keys = ("send_idx", "send_valid", "recv_slot", "owned_mask")
-    scalar_keys = ("N_bdry", "b_min")
-
+def _make_local_model(plan, axis):
+    """Closure rebuilding the per-shard (Mesh, StaticFields) pair inside a
+    shard_map body from one shard's slice of every planned array — shared
+    by the transient and steady distributed runners."""
     coarse_m = plan["coarse_m"]
     mg_plan = plan["mg_plan"]
     op_meta = plan["op_meta"]
+    omax = int(plan["omax"])
 
-    def body(cells, area, grads, valid, gb0,
-             nodes, node_area, z_b, z_s, G, inputs, storage, dirichlet,
-             op_l, coarse_agg_l,
-             send_idx, send_valid, recv_slot, owned_mask,
-             mg_sharded, mg_rep,
-             N_bdry, b_min, state, dts):
+    def local_model(cells, area, grads, valid, gb0,
+                    nodes, node_area, z_b, z_s, G, inputs, storage,
+                    dirichlet, op_l, coarse_agg_l,
+                    send_idx, send_valid, recv_slot, owned_mask,
+                    mg_sharded, mg_rep, N_bdry, b_min):
         halo = H.Halo(send_idx=send_idx, send_valid=send_valid,
                       recv_slot=recv_slot, owned_mask=owned_mask, axis=axis,
-                      omax=int(plan["omax"]))
+                      omax=omax)
         mg_local = None
         if mg_plan is not None:
             from shakti_tpu.solve.mg import MGPlan
@@ -313,23 +290,15 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x",
                                storage=storage, gb0=gb0,
                                dirichlet=dirichlet.astype(bool),
                                N_bdry=N_bdry, b_min=b_min)
-        step = make_step_fn(lmesh, lstatic, params, cfg)
-        return run_window(step, state, dts)
+        return lmesh, lstatic
 
-    sharded = shard_map(
-        body, mesh=jmesh,
-        in_specs=(pl,) * 5 + (pl,) * 8 + (pl, pl) + (pl,) * 4
-                 + (pl, rep)
-                 + (rep, rep, pl, rep),
-        out_specs=(pl, rep),
-        # vma tracking cannot type custom_vjp cotangents (see
-        # parallel/shard.py) — the differentiable path needs the legacy
-        # transpose; keep the check on for the plain production runner
-        check_vma=not cfg.differentiable,
-    )
+    return local_model
 
+
+def _assemble_args(payload, mg_plan, dtype):
+    """Device arrays for the shard_map body's model arguments (everything
+    before the marching state), plus the stacked initial state."""
     ar = lambda k, dt=None: jnp.asarray(payload[k], dtype=dt)
-    dtype = md.dtype
     state0 = State(N=ar("N0", dtype), b=ar("b0", dtype),
                    q=ar("q0", dtype), melt=ar("melt0", dtype),
                    N_prev=ar("Nprev0", dtype))
@@ -350,6 +319,110 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x",
                (mg_plan.cols, mg_plan.diag_slot, mg_plan.next_map)
                if mg_plan is not None else ((), (), ())]
             + [ar("N_bdry", dtype), ar("b_min", dtype)])
+    return args, state0
+
+
+def make_distributed_steady_runner(md, jmesh=None, axis: str = "x",
+                                   **steady_kw):
+    """(runner, state0_stacked, plan): runner(state) -> (state, info) —
+    the pseudo-transient steady-state solve (solve/steady.py) on the
+    node-sharded halo path.  One device program: the SER/PTC while-loop
+    runs under shard_map with ghost-masked psum norms, so acceptance,
+    convergence, and the global dt cap are identical decisions on every
+    shard.  ``steady_kw`` forwards to :func:`steady_solve` (tol, dt0,
+    max_steps, ...); info scalars come back replicated."""
+    jmesh = jmesh or make_device_mesh()
+    payload, plan, cfg = build_distributed(md, jmesh, axis)
+    params = md.params
+    from shakti_tpu.solve.steady import make_steady_step, steady_solve
+
+    pl = P(axis)
+    rep = P()
+    local_model = _make_local_model(plan, axis)
+
+    def body(cells, area, grads, valid, gb0,
+             nodes, node_area, z_b, z_s, G, inputs, storage, dirichlet,
+             op_l, coarse_agg_l,
+             send_idx, send_valid, recv_slot, owned_mask,
+             mg_sharded, mg_rep,
+             N_bdry, b_min, state):
+        lmesh, lstatic = local_model(
+            cells, area, grads, valid, gb0, nodes, node_area, z_b, z_s, G,
+            inputs, storage, dirichlet, op_l, coarse_agg_l, send_idx,
+            send_valid, recv_slot, owned_mask, mg_sharded, mg_rep,
+            N_bdry, b_min)
+        step, _ = make_steady_step(lmesh, lstatic, params, cfg)
+        return steady_solve(step, state, mesh=lmesh, rho_i=params.rho_i,
+                            **steady_kw)
+
+    sharded = shard_map(
+        body, mesh=jmesh,
+        in_specs=(pl,) * 5 + (pl,) * 8 + (pl, pl) + (pl,) * 4
+                 + (pl, rep) + (rep, rep, pl),
+        out_specs=(pl, rep),
+        check_vma=not cfg.differentiable,
+    )
+
+    args, state0 = _assemble_args(payload, plan["mg_plan"], md.dtype)
+
+    @jax.jit
+    def runner(state):
+        return sharded(*args, state)
+
+    return runner, state0, plan
+
+
+def make_distributed_runner(md, jmesh=None, axis: str = "x",
+                            control: str | None = None):
+    """(runner, state0_stacked, plan): runner(state, dts) -> (state, diags)
+    with state arrays stacked (P*L, ...) and diags replicated.
+
+    ``control``: optionally expose one nodal static field ("inputs", "G",
+    or "storage" — fields with no freeze-time derived precomputes) as a
+    runtime argument instead of a baked-in constant: the runner signature
+    becomes runner(field_stacked, state, dts) with field_stacked in the
+    same (P*L,) layout as the state arrays.  Combined with
+    cfg.differentiable this is the DISTRIBUTED field-inversion path: build
+    the stacked field inside the loss as
+    ``f_global[plan['glob_ids'].reshape(-1)] * plan['live_mask']`` (a jnp
+    gather), and reverse-mode AD scatter-adds each shard's ghost-slot
+    cotangents back into the global control dofs."""
+    jmesh = jmesh or make_device_mesh()
+    payload, plan, cfg = build_distributed(md, jmesh, axis)
+    params = md.params
+
+    pl = P(axis)
+    rep = P()
+
+    local_model = _make_local_model(plan, axis)
+
+    def body(cells, area, grads, valid, gb0,
+             nodes, node_area, z_b, z_s, G, inputs, storage, dirichlet,
+             op_l, coarse_agg_l,
+             send_idx, send_valid, recv_slot, owned_mask,
+             mg_sharded, mg_rep,
+             N_bdry, b_min, state, dts):
+        lmesh, lstatic = local_model(
+            cells, area, grads, valid, gb0, nodes, node_area, z_b, z_s, G,
+            inputs, storage, dirichlet, op_l, coarse_agg_l, send_idx,
+            send_valid, recv_slot, owned_mask, mg_sharded, mg_rep,
+            N_bdry, b_min)
+        step = make_step_fn(lmesh, lstatic, params, cfg)
+        return run_window(step, state, dts)
+
+    sharded = shard_map(
+        body, mesh=jmesh,
+        in_specs=(pl,) * 5 + (pl,) * 8 + (pl, pl) + (pl,) * 4
+                 + (pl, rep)
+                 + (rep, rep, pl, rep),
+        out_specs=(pl, rep),
+        # vma tracking cannot type custom_vjp cotangents (see
+        # parallel/shard.py) — the differentiable path needs the legacy
+        # transpose; keep the check on for the plain production runner
+        check_vma=not cfg.differentiable,
+    )
+
+    args, state0 = _assemble_args(payload, plan["mg_plan"], md.dtype)
 
     if control is None:
         @jax.jit

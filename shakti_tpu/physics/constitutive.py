@@ -126,3 +126,17 @@ def closure(b, N, p: PhysicalParams):
     """Viscous creep closure C = A b N |N|^(n-1) [m/s]
     (reference constitutive.py:29-31)."""
     return p.A * b * N * jnp.abs(N) ** (p.n - 1.0)
+
+
+def closure_rate(N, p: PhysicalParams):
+    """Creep-closure rate per unit gap, C/b = A N |N|^(n-1) [1/s].
+
+    The closure law is linear in b, so an implicit (backward-Euler)
+    treatment of the closure term in the gap evolution is a scalar
+    division: b_new = (b + dt m/rho_i) / (1 + dt closure_rate(N)) — the
+    unconditionally stable update the steady-state driver (solve/steady.py)
+    uses to march with pseudo-timesteps far beyond the closure timescale.
+    Kept separate from :func:`closure` so the transient path's arithmetic
+    (and its golden trajectories) stays bit-identical.
+    """
+    return p.A * N * jnp.abs(N) ** (p.n - 1.0)

@@ -100,14 +100,25 @@ def make_static_fields(mesh, z_b, z_s, G, inputs, storage, dirichlet_mask,
 
 
 def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
-                 cfg: NewtonConfig):
+                 cfg: NewtonConfig, b_update: str = "explicit"):
     """Returns step(state, dt) -> (state, diagnostics).
 
     The explicit-update data movement is fused: all nodal->corner gathers
     are stacked into single gathers and the cell->node averages into single
     segment-sums (TPU element-gathers/scatters pay a large fixed cost per
     op, so op count — not element count — dominates this phase).
+
+    ``b_update``: gap-evolution scheme.  "explicit" (default) is the
+    reference's forward Euler (solvers.py:162,192).  "semi_implicit"
+    treats the creep-closure term — linear in b — backward-Euler:
+    b_new = (b + dt m/rho_i) / (1 + dt C/b), unconditionally stable for
+    the closure mode and identical to explicit to O(dt^2); used by the
+    pseudo-transient steady-state driver (solve/steady.py) to march with
+    dt far beyond the closure timescale.
     """
+    if b_update not in ("explicit", "semi_implicit"):
+        raise ValueError(f"b_update must be 'explicit' or 'semi_implicit', "
+                         f"got {b_update!r}")
 
     p = params
     # static forcing at quadrature points: computed once here, closed over
@@ -136,8 +147,15 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
             dt = forcing["dt"]
             scale = forcing.get("inputs_scale")
             melt_a = forcing.get("melt_a")
+            # optional per-NODE pseudo-timestep for the gap update (local
+            # time stepping, steady-state driver only): the b-evolution is
+            # a nodal ODE, so marching each node at its own stable dt
+            # changes the path but not the fixed point.  Transient runs
+            # never set this.
+            dt_b = forcing.get("dt_b")
         else:
-            dt, scale, melt_a = forcing, None, None
+            dt, scale, melt_a, dt_b = forcing, None, None, None
+        dt_b = dt if dt_b is None else dt_b
         inputs_q = sq["inputs_q"]
         if scale is not None:
             inputs_q = inputs_q * scale
@@ -214,7 +232,18 @@ def make_step_fn(mesh, static: StaticFields, params: PhysicalParams,
         mdiff_new_ci = law.melt_regularization(
             b_cell, melt_cell_new, grad_b_c[:, None, :], grad_m_new[:, None, :])
         melt_for_b = m0 + ops.cellnodal_to_node_avg(mesh, mdiff_new_ci)
-        b = state.b + dt * (melt_for_b / p.rho_i - law.closure(state.b, N, p))
+        if b_update == "semi_implicit":
+            # only the DECAY part of the closure rate goes implicit: where
+            # N < 0 the rate is negative (creep opening) and an implicit
+            # treatment would cross the 1 + dt*rate = 0 pole; that part
+            # stays explicit (it is bounded by the |N| physics anyway)
+            crate = law.closure_rate(N, p)
+            b = ((state.b + dt_b * (melt_for_b / p.rho_i
+                                    - jnp.minimum(crate, 0.0) * state.b))
+                 / (1.0 + dt_b * jnp.maximum(crate, 0.0)))
+        else:
+            b = state.b + dt_b * (melt_for_b / p.rho_i
+                                  - law.closure(state.b, N, p))
 
         # ---- 5. clamp (reference solvers.py:194-197) ----
         b = jnp.maximum(b, static.b_min)

@@ -30,6 +30,26 @@ def ensure_backend():
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+def honor_platforms_env():
+    """Pin jax to the platform named in JAX_PLATFORMS, via jax.config.
+
+    On this host the axon plugin registers itself regardless of the
+    JAX_PLATFORMS *environment variable* (it is read before the plugin
+    overrides it), so `JAX_PLATFORMS=cpu python -m shakti_tpu ...` would
+    still open the TPU tunnel.  `jax.config.update("jax_platforms", ...)`
+    is honored; call this before the first device use.  No-op when the
+    variable is unset (auto-discovery) or jax is already initialized.
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    import jax
+    try:
+        jax.config.update("jax_platforms", plat)
+    except RuntimeError:
+        pass  # backend already initialized — too late to repin
+
+
 def enable_compile_cache(path: str | None = None) -> str | None:
     """Opt into JAX's persistent compilation cache (XLA executables are
     reloaded from disk instead of recompiled across processes/runs).

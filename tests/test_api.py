@@ -159,8 +159,11 @@ def test_validation_errors():
     nodes, cells = rectangle_mesh(4, 4, 1.0, 1.0)
     md = ModelSetup(nodes, cells)
     md.OutflowBoundary = lambda p: p[:, 0] < 1e-9
+    # timesteps are a run-layer concern: the transient driver demands
+    # them, freeze() no longer does (steady solves have none at all)
     with pytest.raises(ValueError, match="timesteps"):
-        md.freeze()
+        solve(md, progress=False)
+    md.freeze()
     md.timesteps = np.linspace(0, 10.0, 4)
     md.OutflowBoundary = None
     with pytest.raises(ValueError, match="OutflowBoundary"):

@@ -1,0 +1,145 @@
+"""Steady-state solver tests (solve/steady.py, api/steady.py).
+
+The reference has no direct steady-state capability — its users march
+md.timesteps for years (reference notebooks/example.ipynb). These tests
+certify the pseudo-transient-continuation driver three independent ways:
+the in-graph drift certificate, a transient march FROM the returned state
+(the "has it stopped changing" oracle), and global mass conservation.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from setups import setup_slab
+from shakti_tpu.api.run import ConvergenceError
+from shakti_tpu.solve.timestep import make_step_fn
+
+TOL = 2e-2          # drift per year accepted as "steady" in these tests
+YEAR = 3.1536e7
+
+
+@pytest.fixture(scope="module")
+def slab_steady():
+    md = setup_slab.initialize(nx=16, ny=16)
+    out = md.solve_steady(tol=TOL, max_steps=1600)
+    return md, out
+
+
+def test_steady_converges_with_certificate(slab_steady):
+    md, out = slab_steady
+    info = out["info"]
+    assert info["converged"]
+    assert info["rate"] < TOL
+    assert info["steps"] == info["accepted"] + info["rejected"]
+    assert info["newton_total"] >= info["accepted"]
+    # fields come back in caller node order with flux components
+    n = out["N"].size
+    assert out["N"].shape == out["b"].shape == out["qx"].shape == (n,)
+    assert np.all(np.isfinite(out["N"])) and np.all(out["b"] > 0)
+
+
+def test_steady_state_is_actually_steady(slab_steady):
+    """Independent oracle: march the TRANSIENT (explicit, reference-exact)
+    step from the returned state for 10 hours — the state must move less
+    than the certified drift rate implies (~tol * 10h/yr)."""
+    md, out = slab_steady
+    mesh, static, _, cfg = md.freeze()
+    step = jax.jit(make_step_fn(mesh, static, md.params, cfg))
+    s = out["state"]
+    if s.lag_op is not None:  # transient cfg may carry a lag slot
+        from shakti_tpu.solve.newton import zero_lag
+        s = dataclasses.replace(s, lag_op=zero_lag(mesh, s.N.dtype, cfg))
+    N0, b0 = np.asarray(s.N), np.asarray(s.b)
+    hours = 10
+    for _ in range(hours):
+        s, d = step(s, 3600.0)
+        assert bool(np.asarray(d["converged"]))
+    drift_N = np.linalg.norm(np.asarray(s.N) - N0) / np.linalg.norm(N0)
+    drift_b = np.linalg.norm(np.asarray(s.b) - b0) / np.linalg.norm(b0)
+    budget = 5.0 * TOL * hours * 3600.0 / YEAR   # 5x headroom on the rate
+    assert drift_N < budget and drift_b < budget
+
+
+def test_steady_conserves_mass(slab_steady):
+    """At steady state boundary discharge balances interior production."""
+    _, out = slab_steady
+    assert out["Q_out"] == pytest.approx(out["Q_src"], rel=2e-2)
+
+
+def test_steady_budget_exhaustion_raises_with_state(slab_steady):
+    md, _ = slab_steady
+    with pytest.raises(ConvergenceError) as ei:
+        md.solve_steady(tol=1e-8, max_steps=3)
+    err = ei.value
+    assert err.info["steps"] == 3 and not err.info["converged"]
+    assert np.all(np.isfinite(np.asarray(err.state.N)))
+
+
+def test_semi_implicit_gap_update_is_second_order_consistent():
+    """b_update='semi_implicit' must agree with the reference-exact
+    explicit update to O(dt^2) (same N trajectory: the N-solve precedes
+    the gap update, so N is bit-identical by construction)."""
+    md = setup_slab.initialize(nx=12, ny=12)
+    mesh, static, state, cfg = md.freeze()
+    se = jax.jit(make_step_fn(mesh, static, md.params, cfg))
+    si = jax.jit(make_step_fn(mesh, static, md.params, cfg,
+                              b_update="semi_implicit"))
+    rel = {}
+    for dt in (100.0, 1000.0):
+        s1, _ = se(state, dt)
+        s2, _ = si(state, dt)
+        np.testing.assert_array_equal(np.asarray(s1.N), np.asarray(s2.N))
+        rel[dt] = float(np.linalg.norm(np.asarray(s1.b - s2.b))
+                        / np.linalg.norm(np.asarray(s1.b)))
+    assert rel[100.0] < 1e-10                      # tiny at transient dts
+    order = rel[1000.0] / max(rel[100.0], 1e-300)  # ~dt^2 => ~100x
+    assert 30.0 < order < 300.0
+
+
+def test_make_step_fn_rejects_unknown_b_update():
+    md = setup_slab.initialize(nx=8, ny=8)
+    mesh, static, _, cfg = md.freeze()
+    with pytest.raises(ValueError, match="b_update"):
+        make_step_fn(mesh, static, md.params, cfg, b_update="implicit")
+
+
+def test_per_node_dt_b_uniform_matches_scalar():
+    """forcing['dt_b'] = dt * ones must reproduce the scalar-dt step
+    bitwise (the local-time-stepping hook's identity contract)."""
+    import jax.numpy as jnp
+    md = setup_slab.initialize(nx=12, ny=12)
+    mesh, static, state, cfg = md.freeze()
+    step = jax.jit(make_step_fn(mesh, static, md.params, cfg))
+    dt = 3600.0
+    s1, _ = step(state, dt)
+    s2, _ = step(state, {"dt": jnp.asarray(dt, md.dtype),
+                         "dt_b": jnp.full_like(state.b, dt)})
+    np.testing.assert_array_equal(np.asarray(s1.b), np.asarray(s2.b))
+    np.testing.assert_array_equal(np.asarray(s1.N), np.asarray(s2.N))
+
+
+def test_distributed_steady_matches_single_device(slab_steady):
+    """The halo-path steady runner (shard_map'd PTC while-loop, psum'd
+    norms, globally consistent dt cap) must land on the single-device
+    steady state."""
+    from shakti_tpu.parallel.dist import (gather_state,
+                                          make_distributed_steady_runner)
+    from shakti_tpu.parallel.shard import make_device_mesh
+
+    md, out1 = slab_steady
+    jmesh = make_device_mesh(8)
+    runner, st0, plan = make_distributed_steady_runner(
+        md, jmesh, tol=TOL, max_steps=1600)
+    state, info = runner(st0)
+    assert bool(np.asarray(info["converged"]))
+    sg = gather_state(plan, state)
+    relN = (np.linalg.norm(np.asarray(sg.N) - out1["state"].N)
+            / np.linalg.norm(out1["state"].N))
+    relb = (np.linalg.norm(np.asarray(sg.b) - out1["state"].b)
+            / np.linalg.norm(out1["state"].b))
+    # both states carry a <= TOL/yr drift certificate; they must agree far
+    # inside that (different Krylov paths => not bitwise)
+    assert relN < 1e-6 and relb < 1e-3
