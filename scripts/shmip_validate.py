@@ -270,7 +270,13 @@ def suite_S(out, quick):
     for case in ("A1", "A3", "A5"):
         t0 = time.time()
         md = shmip.initialize(case, nx=60, ny=12, days=30, nt_per_day=24)
-        res = md.solve_steady(tol=1e-2 if quick else 1e-3, max_steps=20000)
+        # strict=False: A3/A5 keep genuinely persistent channelization
+        # dynamics (the transient route's own window metrics still move
+        # at year 10-12, suite A) — the honest artifact is the PTC
+        # plateau state + its mass budget, flagged unconverged
+        res = md.solve_steady(tol=1e-2 if quick else 1e-3,
+                              max_steps=6000 if quick else 30000,
+                              strict=False)
         p = steady_profile(case)
         x = md.x
         No = np.interp(x, p["x"], p["N"])
@@ -278,8 +284,10 @@ def suite_S(out, quick):
         win = (x > WINDOW[0]) & (x < WINDOW[1])
         info = res["info"]
         Q_out, Q_src = float(res["Q_out"]), float(res["Q_src"])
-        m = {"ptc_steps": info["steps"], "newton": info["newton_total"],
+        m = {"converged": bool(info["converged"]),
+             "ptc_steps": info["steps"], "newton": info["newton_total"],
              "drift_per_yr": info["rate"],
+             "drift_bdry_per_yr": info["rate_b_bdry"],
              "relN_win": float(np.linalg.norm(res["N"][win] - No[win])
                                / np.linalg.norm(No[win])),
              "relb_win": float(np.linalg.norm(res["b"][win] - bo[win])
@@ -426,19 +434,31 @@ def build_md(out):
             "pseudo-transient-continuation steady solver (`md.solve_steady`,",
             "`solve/steady.py` — a capability the reference lacks), judged",
             "against the same independent 1D oracle as suite A: two",
-            "disjoint routes (years of hourly marching vs a few hundred SER",
-            "pseudo-steps) landing on the same state, each conserving mass.",
+            "disjoint routes (years of hourly marching vs a few thousand",
+            "SER pseudo-steps) landing on the same state, each conserving",
+            "mass.  The drift certificate excludes the N-pinned margin",
+            "nodes (N_bdry ~ 9 kPa -> closure timescale ~19,000 yr: no",
+            "reachable gap equilibrium there — the transient route has the",
+            "identical linear margin drift; their residual drift is the",
+            "`bdry` column).  A1 converges to certificate; A3/A5 keep",
+            "genuinely persistent channelization dynamics (suite A's own",
+            "year-over-year window metrics still move at year 10-12), so",
+            "the artifact reports their PTC plateau state honestly",
+            "(`converged = no`) — the window/oracle and mass-budget checks",
+            "still apply to the plateau.",
             "",
-            "| case | PTC steps | Newton | drift [/yr] | relN (window) | "
-            "relb (window) | Q_out [m^3/s] | Q_src [m^3/s] | imbalance | "
-            "wall [s] |",
-            "|---|---|---|---|---|---|---|---|---|---|",
+            "| case | conv | PTC steps | Newton | drift [/yr] | bdry [/yr] "
+            "| relN (window) | relb (window) | Q_out [m^3/s] | "
+            "Q_src [m^3/s] | imbalance | wall [s] |",
+            "|---|---|---|---|---|---|---|---|---|---|---|---|",
         ]
         for c in ("A1", "A3", "A5"):
             s = out["S_" + c]
             lines.append(
-                f"| {c} | {s['ptc_steps']} | {s['newton']} "
-                f"| {s['drift_per_yr']:.1e} | {s['relN_win']:.2e} "
+                f"| {c} | {'yes' if s['converged'] else 'no'} "
+                f"| {s['ptc_steps']} | {s['newton']} "
+                f"| {s['drift_per_yr']:.1e} | {s['drift_bdry_per_yr']:.1e} "
+                f"| {s['relN_win']:.2e} "
                 f"| {s['relb_win']:.2e} | {s['Q_out']:.3f} "
                 f"| {s['Q_src']:.3f} | {s['imbalance']:.1e} "
                 f"| {s['wall_s']:.0f} |")

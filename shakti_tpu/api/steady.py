@@ -29,19 +29,28 @@ from shakti_tpu.solve.steady import YEAR, make_steady_step, steady_solve
 
 def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
                  max_steps=2000, max_rel_change=0.5, stab_safety=2.0,
-                 budget=True):
+                 budget=True, strict=True):
     """Solve the model to steady state (drift < ``tol`` per ``t_ref``).
 
     Returns a dict: steady nodal fields ``N``/``b``/``qx``/``qy`` (caller
     node order), the raw solver-order ``state``, ``info`` (host scalars:
-    converged/steps/accepted/rejected/rate_N/rate_b/dt/t_pseudo/
-    newton_total/cg_total/wall_s), and — when ``budget`` — the global
+    converged/steps/accepted/rejected/rate_N/rate_b/rate_b_bdry/kappa/dt/
+    t_pseudo/newton_total/cg_total/wall_s — drift rates cover non-Dirichlet
+    nodes; ``rate_b_bdry`` is the N-pinned boundary nodes' residual gap
+    drift, unbounded-equilibrium margins included honestly rather than in
+    the certificate), and — when ``budget`` — the global
     conservation certificate ``Q_out``/``Q_src`` (boundary discharge vs
     interior production, solve/diagnostics.py; the two agree at a true
     steady state).
 
     Raises ``ConvergenceError`` when ``max_steps`` PTC attempts did not
     reach ``tol`` (the partial state rides on the exception for triage).
+    ``strict=False`` returns the plateau state with
+    ``info["converged"] = False`` instead — for regimes with genuinely
+    persistent dynamics (high-melt SHMIP cases keep channelization
+    activity at ~0.3-3/yr drift; the transient route shows the same
+    physics), where the plateau state and its mass budget are still the
+    meaningful scientific output.
     """
     md.validate(require_timesteps=False)
     if dt0 is None:
@@ -68,8 +77,13 @@ def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
             import dataclasses
             state0 = dataclasses.replace(state0, lag_op=None)
         step, cfg = make_steady_step(mesh, static, md.params, cfg)
+        # Dirichlet nodes are excluded from the drift certificate: where
+        # the pinned N is near zero (the SHMIP margin) the gap has no
+        # reachable equilibrium — see the solve/steady.py module docstring;
+        # their residual drift is reported as info["rate_b_bdry"]
+        mask = ~static.dirichlet
         runner = jax.jit(lambda s: steady_solve(
-            step, s, rho_i=md.params.rho_i, mesh=mesh, **kw))
+            step, s, params=md.params, drift_mask=mask, mesh=mesh, **kw))
         t0 = time.time()
         state, dinfo = runner(state0)
     info = {k: (float(v) if np.asarray(v).dtype.kind == "f" else int(v))
@@ -77,7 +91,7 @@ def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
     info["converged"] = bool(dinfo["converged"])
     info["wall_s"] = round(time.time() - t0, 3)
 
-    if not info["converged"]:
+    if not info["converged"] and strict:
         from shakti_tpu.api.run import ConvergenceError
         err = ConvergenceError(
             f"steady solve did not reach tol={tol:g} per {t_ref:g} s in "

@@ -352,8 +352,10 @@ def make_distributed_steady_runner(md, jmesh=None, axis: str = "x",
             send_valid, recv_slot, owned_mask, mg_sharded, mg_rep,
             N_bdry, b_min)
         step, _ = make_steady_step(lmesh, lstatic, params, cfg)
-        return steady_solve(step, state, mesh=lmesh, rho_i=params.rho_i,
-                            **steady_kw)
+        # N-pinned nodes leave the drift certificate (api/steady.py has
+        # the rationale); steady_solve composes this with the owned mask
+        return steady_solve(step, state, mesh=lmesh, params=params,
+                            drift_mask=~lstatic.dirichlet, **steady_kw)
 
     sharded = shard_map(
         body, mesh=jmesh,

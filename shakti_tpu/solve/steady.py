@@ -61,6 +61,52 @@ on the slab case that is ~200x fewer steps than hourly transient marching
 to the same drift (the reference's only route).  ``dt_b`` per-node
 stepping support remains in solve/timestep.py for future work; this
 driver intentionally does not use it.
+
+Two further mechanisms, both forced by the SHMIP suite-A cases (measured
+on A1, the lowest-input case, 60x12 f64):
+
+  * **N-pinned boundary nodes are excluded from the drift certificate**
+    (``drift_mask``): where the Dirichlet value pins N near zero (SHMIP's
+    margin: ~9 kPa), creep closure A b N^n nearly vanishes and the gap
+    has no reachable equilibrium — its balance point m/(rho_i A N^n) is
+    tens of meters away on a multi-millennial timescale (A1: b* ~ 49 m,
+    1/(A N^3) ~ 19,000 yr), far outside the sheet model's validity.  The
+    margin gap drifts LINEARLY through any finite march — the transient
+    route has the identical property, which is why the reference's own
+    validation only ever judges window metrics (SHMIP.md suite A).
+    Measured: 99.99996% of A1's non-converging drift norm lived on its 13
+    Dirichlet nodes.  Their residual drift is reported honestly as
+    ``rate_b_bdry``.
+  * **An adaptive stability cap for the staggered b<->N coupling**: the
+    N-solve is quasi-static, so at large dt the PTC step tends to the
+    staggered fixed-point iteration b <- balance(N), N <- solve(b), whose
+    spectral radius exceeds 1 when N is very sensitive to b (A1: b ~ mm,
+    transmissivity ~ b^3).  The signature is a limit cycle — period-2
+    (consecutive accepted dN anticorrelated) or long-period (A1:
+    consecutive 500-step increments correlate at -0.98) — with the rate
+    stalled while SER hovers dt AT the instability boundary forever
+    (memoryless feedback cannot move off a marginal cycle).  dt acts as
+    under-relaxation, so the cure is a persistent cap
+    dt <= kappa / max(A |N|^n) over certificate nodes, with kappa found
+    EMPIRICALLY in-graph by two windowed detectors (body comment):
+    period-2 counts over a fast window, geometric-mean-rate stalls over
+    a slow window; both fire only when dt was roughly flat across their
+    window (hover signature — cold-start equilibration grows dt ~4x/step
+    and must not tighten: measured death spirals otherwise), and a
+    detection pins kappa to half the hovering dt.  Stall-tightens are
+    probationary (revert + exponential backoff unless the next window's
+    rate actually improves): a stall alone cannot distinguish a cycle
+    from a genuinely slow transient, whose rate is dt-independent —
+    un-probed, A3 tightened itself to kappa_min while simply being
+    10 years from equilibrium.  A fixed kappa cannot work: the coupling
+    gain depends on the mesh and regime (A1 pins near kappa ~ 0.03; the
+    slab is stable at kappa = 1 with dt 7.7e5 s, converging in 199 PTC
+    steps).  High-melt SHMIP cases (A3/A5) keep genuinely persistent
+    channelization dynamics — their certified rate plateaus at
+    ~0.3-3/yr; the transient route shows the same physics (suite-A
+    year-over-year window metrics still moving at year 10-12), so the
+    honest artifact reports the plateau (``strict=False``), not a
+    certificate.
 """
 
 from __future__ import annotations
@@ -73,9 +119,11 @@ import jax.numpy as jnp
 YEAR = 3.1536e7     # 365-day year [s], the default rate-reference time
 
 
-def steady_solve(step_fn, state0, *, dt0=3600.0, dt_max=1e9, tol=1e-2,
-                 t_ref=YEAR, max_steps=2000, growth_cap=4.0, shrink=0.25,
-                 max_rel_change=0.5, stab_safety=2.0, rho_i=917.0,
+def steady_solve(step_fn, state0, *, params, dt0=3600.0, dt_max=1e9,
+                 tol=1e-2, t_ref=YEAR, max_steps=2000, growth_cap=4.0,
+                 shrink=0.25, max_rel_change=0.5, stab_safety=2.0,
+                 drift_mask=None, kappa0=1.0, kappa_min=1e-3,
+                 osc_corr=-0.5, osc_M=20, stall_M=200, imp_eps=0.02,
                  mesh=None):
     """March ``step_fn`` to steady state with adaptive pseudo-timesteps.
 
@@ -85,18 +133,27 @@ def steady_solve(step_fn, state0, *, dt0=3600.0, dt_max=1e9, tol=1e-2,
     handles failed steps here).  ``state0.lag_op`` must be None
     (``lag_operator=False``): rejected steps would revert the carry.
 
+    ``params``: the PhysicalParams — rho_i for the melt-opening dt cap
+    and (A, n) for the adaptive b<->N coupling cap (module docstring).
+    ``drift_mask``: optional (n,) bool/float, 1 where a node counts toward
+    the drift certificate, the max_rel_change guard, and the dt caps.
+    Pass ``~dirichlet`` for meshes whose Dirichlet value pins N near zero
+    (the SHMIP margin — no reachable gap equilibrium there); excluded
+    nodes' residual gap drift is reported as ``rate_b_bdry``.
+
     Returns ``(state, info)`` with info scalars still on device:
     ``converged`` (rate < tol on an accepted step), ``steps`` (total
     attempts), ``accepted``, ``rejected``, ``rate`` / ``rate_N`` /
-    ``rate_b`` (final drift per t_ref), ``dt`` (final pseudo-timestep),
-    ``t_pseudo`` (accumulated pseudo-time), ``newton_total`` /
-    ``cg_total``.
+    ``rate_b`` (final drift per t_ref over certificate nodes),
+    ``rate_b_bdry`` (drift of mask-excluded nodes; 0 when none),
+    ``kappa`` (final coupling-cap multiplier), ``dt`` (final
+    pseudo-timestep), ``t_pseudo`` (accumulated pseudo-time),
+    ``newton_total`` / ``cg_total``.
     """
     if state0.lag_op is not None:
         raise ValueError("steady_solve requires lag_operator=False "
                          "(State.lag_op must be None)")
     sharded = mesh is not None and mesh.halo is not None
-    norm = mesh.halo.norm if sharded else jnp.linalg.norm
     pamax = ((lambda x: jax.lax.pmax(x, mesh.halo.axis)) if sharded
              else (lambda x: x))
     pall = ((lambda x: jax.lax.pmin(x.astype(jnp.int32),
@@ -107,53 +164,181 @@ def steady_solve(step_fn, state0, *, dt0=3600.0, dt_max=1e9, tol=1e-2,
     f = lambda v: jnp.asarray(v, dtype)
     i32 = lambda v: jnp.asarray(v, jnp.int32)
 
-    def rates(old, new, dt):
-        rN = norm(new.N - old.N) / jnp.maximum(norm(old.N), tiny)
-        rb = norm(new.b - old.b) / jnp.maximum(norm(old.b), tiny)
-        per_ref = f(t_ref) / dt
-        return rN * per_ref, rb * per_ref, rb
+    # certificate mask (1 = counts), excluded mask (1 = mask-excluded and
+    # owned); halo.norm/dot re-apply the owned mask under sharding, so the
+    # ghost handling composes either way
+    act = None if drift_mask is None else jnp.asarray(drift_mask, dtype)
+    if sharded and act is not None:
+        act = act * mesh.halo.owned_mask
+    exc = None if act is None else (
+        (mesh.halo.owned_mask if sharded else f(1.0)) - act)
 
-    def dt_cap(state):
-        """Stability bound from the explicit melt-opening feedback:
-        the frozen-N gap ODE grows like +3 m/(rho_i b) where melt opens
-        (see module docstring); only the N-coupling damps it, so cap
-        dt at stab_safety over the fastest such rate."""
-        lam = 3.0 * jnp.maximum(state.melt, 0.0) / (rho_i * jnp.maximum(
-            state.b, tiny))
-        if sharded:
-            # ghost/dead slots must not bind the GLOBAL pseudo-dt: each
-            # node contributes through its owning shard exactly once
-            lam = lam * mesh.halo.owned_mask
-        return f(stab_safety) / jnp.maximum(pamax(jnp.max(lam)), tiny)
+    def mnorm(x, m=None):
+        x = x if m is None else x * m
+        return mesh.halo.norm(x) if sharded else jnp.linalg.norm(x)
+
+    def mdot(a, b):
+        return mesh.halo.dot(a, b) if sharded else jnp.vdot(a, b)
+
+    def rates(old, new, dt):
+        rN = mnorm(new.N - old.N, act) / jnp.maximum(mnorm(old.N, act), tiny)
+        rb = mnorm(new.b - old.b, act) / jnp.maximum(mnorm(old.b, act), tiny)
+        per_ref = f(t_ref) / dt
+        rbx = f(0.0)
+        if exc is not None:
+            rbx = (mnorm(new.b - old.b, exc)
+                   / jnp.maximum(mnorm(old.b, exc), tiny)) * per_ref
+        return rN * per_ref, rb * per_ref, rb, rbx
+
+    def dt_cap(state, kappa):
+        """Two stability bounds on the pseudo-timestep (module docstring):
+        (1) the explicit melt-opening feedback — the frozen-N gap ODE
+        grows like +3 m/(rho_i b) where melt opens and only the N-coupling
+        damps it; (2) the staggered b<->N coupling — dt under-relaxes the
+        large-dt fixed-point iteration, unstable beyond ~kappa/(A |N|^n),
+        with kappa adapted by the oscillation detector in ``body``.
+        Certificate-excluded nodes (and, sharded, ghost/dead slots) must
+        not bind the GLOBAL dt: each node contributes once, through its
+        owning shard, and only if masked in."""
+        lam = 3.0 * jnp.maximum(state.melt, 0.0) / (params.rho_i *
+                                                    jnp.maximum(state.b, tiny))
+        lam2 = params.A * jnp.abs(state.N) ** params.n
+        m = act if act is not None else (
+            mesh.halo.owned_mask if sharded else None)
+        if m is not None:
+            lam, lam2 = lam * m, lam2 * m
+        cap1 = f(stab_safety) / jnp.maximum(pamax(jnp.max(lam)), tiny)
+        cap2 = kappa / jnp.maximum(pamax(jnp.max(lam2)), tiny)
+        return jnp.minimum(cap1, cap2), cap2
 
     def cond(c):
         return (~c["done"]) & (c["k"] < max_steps)
 
     def body(c):
-        state, dt = c["state"], c["dt"]
+        state, dt, kappa = c["state"], c["dt"], c["kappa"]
         new_state, d = step_fn(state, dt)
         finite = pall(jnp.all(jnp.isfinite(new_state.N))
                       & jnp.all(jnp.isfinite(new_state.b)))
-        rate_N, rate_b, rel_b = rates(state, new_state, dt)
+        rate_N, rate_b, rel_b, rate_bx = rates(state, new_state, dt)
         accept = d["converged"] & finite & (rel_b <= max_rel_change)
         rate = jnp.maximum(rate_N, rate_b)
         sel = lambda a, b: jnp.where(accept, a, b)
         out_state = jax.tree_util.tree_map(sel, new_state, state)
         done = accept & (rate < tol)
+        # oscillation detector: correlation of consecutive ACCEPTED state
+        # increments; a persistent negative value while unconverged is the
+        # period-2 signature of the staggered-coupling instability
+        dN = new_state.N - state.N
+        ndN = mnorm(dN, act)
+        corr = mdot(dN if act is None else dN * act, c["dN_prev"]) \
+            / jnp.maximum(ndN * c["ndN_prev"], tiny)
+        cap_all, cap2 = dt_cap(out_state, kappa)
+        # SER is memoryless, so it equilibrates dt AT the instability
+        # boundary and hovers there in a sustained marginal cycle
+        # (measured on A1: dt pinned at 1.4e5 s, rate cycling 7-120/yr,
+        # forever) — possibly far BELOW the kappa cap, so "dt near the
+        # cap" can never be the detector gate.  Instead both detectors
+        # run on windows of accepted steps and fire only when dt was
+        # ROUGHLY FLAT across the window (hover signature; during
+        # cold-start equilibration SER grows dt ~4x/step, which gates the
+        # detectors off and prevents the measured kappa death spirals).
+        # A detection then PINS the coupling cap at half the hovering dt:
+        # kappa <- dt/2 * max(A|N|^n) expressed in kappa units.
+        #   * fast window (osc_M): counts period-2 signatures — per-step
+        #     increment correlation < osc_corr;
+        #   * slow window (stall_M): long-period cycles defeat the
+        #     per-step detector (measured on A1: consecutive 500-step
+        #     increments correlate at -0.98 while per-step correlations
+        #     stay mild) — fire when the window's geometric-mean rate
+        #     stops improving.  Block AVERAGES, not a running min: a
+        #     cycle's dips each beat a min tracker and reset it forever
+        #     (measured: A1 stuck at kappa 0.25, rate 7.4/yr, 40k steps).
+        # kappa only ever tightens — a relax rule re-destabilized A1
+        # every few hundred steps (measured); each tightening resets the
+        # windows and the improvement baseline (a baseline carried across
+        # tightenings mis-reads post-tightening damping as stall).
+        acc_i = accept.astype(jnp.int32)
+        cneg = c["cneg"] + (accept & (corr < osc_corr)).astype(jnp.int32)
+        cw = c["cw"] + acc_i
+        fast_done = cw >= osc_M
+        dt_flat_f = dt <= f(2.0) * c["dt_fmark"]
+        osc = fast_done & (cneg >= osc_M // 2) & (rate >= tol) \
+            & dt_flat_f & accept
+        ssum = c["ssum"] + jnp.where(accept,
+                                     jnp.log(jnp.maximum(rate, tiny)),
+                                     f(0.0))
+        sw = c["sw"] + acc_i
+        slow_done = (sw >= stall_M) & accept
+        avg = ssum / jnp.maximum(sw, 1).astype(dtype)
+        # A slow-window stall cannot by itself distinguish a limit cycle
+        # (tightening damps it — the rate then collapses) from a genuinely
+        # slow transient (the rate is dt-INDEPENDENT, so tightening only
+        # wastes pseudo-time; un-probed, the stall rule halves dt every
+        # 2 windows straight to kappa_min — measured on A3, whose
+        # equilibration simply takes ~10 years).  So stall-tightens are
+        # PROBATIONARY: if the window after a stall-tighten did not
+        # improve the geometric-mean rate by 5*imp_eps, the tightening is
+        # REVERTED and further stall attempts back off exponentially
+        # (osc-tightens stay unconditional — a half-window of period-2
+        # increments is not produced by smooth marching).
+        on_probe = c["pend"] > 0
+        helped = avg < c["pre_avg"] - f(5.0 * imp_eps)
+        revert = slow_done & on_probe & (~helped)
+        stalled = slow_done & (~on_probe) & (c["skip"] <= 0) \
+            & (avg > c["prev_avg"] - f(imp_eps)) \
+            & (rate >= tol) & (dt <= f(2.0) * c["dt_smark"])
+        tighten = osc | stalled
+        lam2max = kappa / cap2          # max active coupling rate
+        kappa_pin = jnp.maximum(f(0.5) * dt * lam2max, f(kappa_min))
+        kappa_new = jnp.where(tighten, jnp.minimum(kappa, kappa_pin),
+                              jnp.where(revert, c["kappa_saved"], kappa))
+        cap_new = jnp.minimum(cap_all, cap2 * kappa_new / kappa)
         # SER: grow dt as the drift rate falls, shrink when it rises;
-        # hard-shrink on rejection; always respect the stability cap
+        # hard-shrink on rejection; always respect the stability caps
         ser = jnp.clip(c["rate"] / jnp.maximum(rate, tiny),
                        f(shrink), f(growth_cap))
-        dt_acc = jnp.minimum(jnp.minimum(dt * ser, f(dt_max)),
-                             dt_cap(out_state))
+        dt_acc = jnp.minimum(jnp.minimum(dt * ser, f(dt_max)), cap_new)
         dt_new = jnp.where(accept, dt_acc, jnp.maximum(dt * f(shrink),
                                                        f(1e-6) * f(dt0)))
         return {
             "state": out_state,
             "dt": dt_new,
+            "kappa": kappa_new,
+            # window bookkeeping (rationale in the detector comment above)
+            "cw": jnp.where(tighten | fast_done, i32(0), cw),
+            "cneg": jnp.where(tighten | fast_done, i32(0), cneg),
+            "dt_fmark": jnp.where(tighten | fast_done, dt_new,
+                                  c["dt_fmark"]),
+            "sw": jnp.where(tighten | slow_done, i32(0), sw),
+            "ssum": jnp.where(tighten | slow_done, f(0.0), ssum),
+            "prev_avg": jnp.where(tighten, f(jnp.inf),
+                                  jnp.where(slow_done, avg,
+                                            c["prev_avg"])),
+            "dt_smark": jnp.where(tighten | slow_done, dt_new,
+                                  c["dt_smark"]),
+            # stall probation: pend=1 while a stall-tighten awaits its
+            # next-window evaluation; osc fires clear it (kappa moved —
+            # the saved baseline is stale); failed probes exponentially
+            # back off further stall attempts via skip/wait
+            "pend": jnp.where(stalled, i32(1),
+                              jnp.where(osc | slow_done, i32(0),
+                                        c["pend"])),
+            "pre_avg": jnp.where(stalled, avg, c["pre_avg"]),
+            "kappa_saved": jnp.where(stalled, kappa, c["kappa_saved"]),
+            "skip": jnp.where(revert, c["wait"],
+                              jnp.where(slow_done,
+                                        jnp.maximum(c["skip"] - 1, i32(0)),
+                                        c["skip"])),
+            "wait": jnp.where(revert,
+                              jnp.minimum(c["wait"] * 2 + 1, i32(32)),
+                              jnp.where((slow_done & on_probe & helped)
+                                        | osc, i32(0), c["wait"])),
+            "dN_prev": jnp.where(accept, dN, c["dN_prev"]),
+            "ndN_prev": jnp.where(accept, ndN, c["ndN_prev"]),
             "rate": jnp.where(accept, rate, c["rate"]),
             "rate_N": jnp.where(accept, rate_N, c["rate_N"]),
             "rate_b": jnp.where(accept, rate_b, c["rate_b"]),
+            "rate_b_bdry": jnp.where(accept, rate_bx, c["rate_b_bdry"]),
             "t_pseudo": c["t_pseudo"] + jnp.where(accept, dt, f(0.0)),
             "k": c["k"] + 1,
             "accepted": c["accepted"] + accept.astype(jnp.int32),
@@ -164,8 +349,15 @@ def steady_solve(step_fn, state0, *, dt0=3600.0, dt_max=1e9, tol=1e-2,
         }
 
     init = {
-        "state": state0, "dt": f(dt0),
+        "state": state0, "dt": f(dt0), "kappa": f(kappa0),
+        "cw": i32(0), "cneg": i32(0), "dt_fmark": f(dt0),
+        "sw": i32(0), "ssum": f(0.0), "prev_avg": f(jnp.inf),
+        "dt_smark": f(dt0),
+        "pend": i32(0), "pre_avg": f(jnp.inf), "kappa_saved": f(kappa0),
+        "skip": i32(0), "wait": i32(0),
+        "dN_prev": jnp.zeros_like(state0.N), "ndN_prev": f(0.0),
         "rate": f(jnp.inf), "rate_N": f(jnp.inf), "rate_b": f(jnp.inf),
+        "rate_b_bdry": f(0.0),
         "t_pseudo": f(0.0), "k": i32(0),
         "accepted": i32(0), "rejected": i32(0),
         "newton_total": i32(0), "cg_total": i32(0),
@@ -173,8 +365,9 @@ def steady_solve(step_fn, state0, *, dt0=3600.0, dt_max=1e9, tol=1e-2,
     }
     out = jax.lax.while_loop(cond, body, init)
     info = {k: out[k] for k in ("done", "k", "accepted", "rejected", "rate",
-                                "rate_N", "rate_b", "dt", "t_pseudo",
-                                "newton_total", "cg_total")}
+                                "rate_N", "rate_b", "rate_b_bdry", "kappa",
+                                "dt", "t_pseudo", "newton_total",
+                                "cg_total")}
     info["converged"] = info.pop("done")
     info["steps"] = info.pop("k")
     return out["state"], info

@@ -35,6 +35,13 @@ def test_steady_converges_with_certificate(slab_steady):
     assert info["rate"] < TOL
     assert info["steps"] == info["accepted"] + info["rejected"]
     assert info["newton_total"] >= info["accepted"]
+    # the N-pinned margin is excluded from the certificate (its gap
+    # equilibrates on the 1/(A N_bdry^n) ~ 14 yr closure timescale) and
+    # its residual drift is reported separately — on the slab it is the
+    # slowest thing in the domain, well above the certified rate
+    assert np.isfinite(info["rate_b_bdry"])
+    assert info["rate_b_bdry"] > info["rate"]
+    assert 0 < info["kappa"] <= 1.0        # coupling cap multiplier
     # fields come back in caller node order with flux components
     n = out["N"].size
     assert out["N"].shape == out["b"].shape == out["qx"].shape == (n,)
@@ -44,7 +51,11 @@ def test_steady_converges_with_certificate(slab_steady):
 def test_steady_state_is_actually_steady(slab_steady):
     """Independent oracle: march the TRANSIENT (explicit, reference-exact)
     step from the returned state for 10 hours — the state must move less
-    than the certified drift rate implies (~tol * 10h/yr)."""
+    than the certified drift rates imply (~tol * 10h/yr), measured over
+    the same node sets the certificate covers: non-Dirichlet nodes
+    against info["rate"], the N-pinned margin (whose gap relaxes on the
+    ~14 yr closure timescale and is excluded from the certificate)
+    against info["rate_b_bdry"]."""
     md, out = slab_steady
     mesh, static, _, cfg = md.freeze()
     step = jax.jit(make_step_fn(mesh, static, md.params, cfg))
@@ -53,14 +64,21 @@ def test_steady_state_is_actually_steady(slab_steady):
         from shakti_tpu.solve.newton import zero_lag
         s = dataclasses.replace(s, lag_op=zero_lag(mesh, s.N.dtype, cfg))
     N0, b0 = np.asarray(s.N), np.asarray(s.b)
+    act = ~np.asarray(static.dirichlet)
     hours = 10
     for _ in range(hours):
         s, d = step(s, 3600.0)
         assert bool(np.asarray(d["converged"]))
-    drift_N = np.linalg.norm(np.asarray(s.N) - N0) / np.linalg.norm(N0)
-    drift_b = np.linalg.norm(np.asarray(s.b) - b0) / np.linalg.norm(b0)
-    budget = 5.0 * TOL * hours * 3600.0 / YEAR   # 5x headroom on the rate
-    assert drift_N < budget and drift_b < budget
+    frac = hours * 3600.0 / YEAR
+    rel = lambda new, old, m: (np.linalg.norm((new - old) * m)
+                               / np.linalg.norm(old * m))
+    assert rel(np.asarray(s.N), N0, act) < 5.0 * TOL * frac
+    assert rel(np.asarray(s.b), b0, act) < 5.0 * TOL * frac
+    # margin gap: certified separately (linear drift toward its distant
+    # closure balance), same 5x headroom on the reported rate
+    bdry = np.asarray(static.dirichlet)
+    assert rel(np.asarray(s.b), b0, bdry) \
+        < 5.0 * out["info"]["rate_b_bdry"] * frac
 
 
 def test_steady_conserves_mass(slab_steady):
@@ -76,6 +94,18 @@ def test_steady_budget_exhaustion_raises_with_state(slab_steady):
     err = ei.value
     assert err.info["steps"] == 3 and not err.info["converged"]
     assert np.all(np.isfinite(np.asarray(err.state.N)))
+
+
+def test_steady_strict_false_returns_plateau(slab_steady):
+    """strict=False returns the plateau state (converged=False) with the
+    mass budget instead of raising — the honest output for regimes with
+    genuinely persistent dynamics (high-melt SHMIP cases)."""
+    md, _ = slab_steady
+    out = md.solve_steady(tol=1e-8, max_steps=3, strict=False)
+    assert not out["info"]["converged"]
+    assert out["info"]["steps"] == 3
+    assert np.all(np.isfinite(out["N"]))
+    assert np.isfinite(float(out["Q_out"])) and np.isfinite(float(out["Q_src"]))
 
 
 def test_semi_implicit_gap_update_is_second_order_consistent():
