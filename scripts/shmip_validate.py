@@ -1,4 +1,4 @@
-"""SHMIP validation artifact: suites A-F (VERDICT r1 item 8 + r2 item 5).
+"""SHMIP validation artifact: suites A-F + S (VERDICT r1 item 8 + r2 item 5).
 
 Suite A (A1/A3/A5, distributed input): long-horizon CPU f64 transients vs
 the INDEPENDENT 1D steady oracle (oracle/shmip_oracle.py — scipy shooting
@@ -26,10 +26,11 @@ and in the overdeepened trough band.
 Suite F (F1-F5, seasonal forcing on the E1 valley): amplitude of the
 glacier-mean N monotone in dT.
 
-Suite S (steady cross-check): A1/A3/A5 solved DIRECTLY with the
-pseudo-transient-continuation steady solver (md.solve_steady) and judged
-against the same 1D oracle — transient marching and PTC must land on the
-same state.
+Suite S (steady cross-check): all six suite-A cases solved DIRECTLY with
+the pseudo-transient-continuation steady solver (md.solve_steady) and
+judged against the same 1D oracle — for A1/A3/A5, transient marching and
+PTC must land on the same state; A2/A4/A6 (no transient twin) complete
+6/6 suite-A case coverage via the steady route.
 
 Results are cached per-suite in scripts/shmip_results.json; SHMIP.md is
 regenerated from the cache, so suites can be (re)run selectively:
@@ -407,7 +408,7 @@ def suite_F(out, quick):
 
 def build_md(out):
     g = lambda c, k: out[c][k]
-    lines = ["# SHMIP validation (suites A-F)", ""]
+    lines = ["# SHMIP validation (suites A-F + S)", ""]
     # every suite block is gated on its results being present (the cache
     # file may hold a subset when regenerated with --suites), mirroring
     # the D/E/F guards below — an ungated KeyError here would throw away
