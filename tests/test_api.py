@@ -300,3 +300,31 @@ def test_rolling_checkpoints_fire_on_misaligned_cadence(tmp_path, monkeypatch):
     assert rolling == [1, 9, 13]
     # final full checkpoint still written once, with the carry included
     assert [s for s, lag in calls if lag] == [20]
+
+
+def test_cli_steady_writes_artifacts(tmp_path, capsys):
+    """CLI `--steady` end-to-end: a wrapper setup file through
+    cli.main() must solve the steady state and write steady.npz +
+    steady_info.json to <results_name>_steady/ (cli.py:89-113)."""
+    from shakti_tpu.cli import main
+
+    wrapper = tmp_path / "wrap_steady.py"
+    wrapper.write_text(
+        "import setups.setup_slab as slab\n"
+        "def initialize():\n"
+        f"    return slab.initialize(nx=10, ny=10, days=2.0, nt_per_day=4,\n"
+        f"                           results_name={str(tmp_path / 'sres')!r})\n"
+    )
+    rc = main([str(wrapper), "--steady", "--steady-tol", "2e-2", "--quiet"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "steady state in" in out and "mass budget" in out
+    rdir = tmp_path / "sres_steady"
+    import json
+
+    z = np.load(rdir / "steady.npz")
+    assert set(z.files) >= {"N", "b", "qx", "qy"}
+    assert np.isfinite(z["N"]).all() and (z["b"] > 0).all()
+    info = json.loads((rdir / "steady_info.json").read_text())
+    assert info["converged"] and info["rate"] < 2e-2
+    assert abs(info["Q_out"] - info["Q_src"]) <= 1e-2 * abs(info["Q_src"])
