@@ -260,7 +260,7 @@ def suite_A(out, quick):
     return A5
 
 
-def suite_S(out, quick):
+def suite_S(out, quick, force=False):
     """Suite S (steady-solver cross-check): solve A1/A3/A5 DIRECTLY with
     md.solve_steady (pseudo-transient continuation, solve/steady.py) and
     judge against the same independent 1D oracle the transients are judged
@@ -270,12 +270,17 @@ def suite_S(out, quick):
 
     A2/A4/A6 (not marched as transients in suite A) are solved here too,
     judged against the oracle alone — the steady route completes 6/6
-    suite-A case coverage.  Cached cases are skipped; delete their
-    "S_<case>" keys from scripts/shmip_results.json to re-run."""
+    suite-A case coverage.  Cached cases are skipped (use --force or
+    delete their "S_<case>" keys from scripts/shmip_results.json to
+    re-run); each entry records the tol/max_steps/quick fidelity it was
+    produced at, so a --quick refresh is distinguishable in the cache."""
     print("== suite S: direct steady solves of A1-A6 ==", flush=True)
+    tol = 1e-2 if quick else 1e-3
+    max_steps = 6000 if quick else 30000
     for case in ("A1", "A2", "A3", "A4", "A5", "A6"):
-        if "S_" + case in out:
-            print(f"S_{case}: cached, skipping", flush=True)
+        if "S_" + case in out and not force:
+            print(f"S_{case}: cached, skipping (--force re-runs)",
+                  flush=True)
             continue
         t0 = time.time()
         md = shmip.initialize(case, nx=60, ny=12, days=30, nt_per_day=24)
@@ -283,9 +288,7 @@ def suite_S(out, quick):
         # dynamics (the transient route's own window metrics still move
         # at year 10-12, suite A) — the honest artifact is the PTC
         # plateau state + its mass budget, flagged unconverged
-        res = md.solve_steady(tol=1e-2 if quick else 1e-3,
-                              max_steps=6000 if quick else 30000,
-                              strict=False)
+        res = md.solve_steady(tol=tol, max_steps=max_steps, strict=False)
         p = steady_profile(case)
         x = md.x
         No = np.interp(x, p["x"], p["N"])
@@ -294,6 +297,7 @@ def suite_S(out, quick):
         info = res["info"]
         Q_out, Q_src = float(res["Q_out"]), float(res["Q_src"])
         m = {"converged": bool(info["converged"]),
+             "tol": tol, "max_steps": max_steps, "quick": bool(quick),
              "ptc_steps": info["steps"], "newton": info["newton_total"],
              "drift_per_yr": info["rate"],
              "drift_bdry_per_yr": info["rate_b_bdry"],
@@ -434,7 +438,7 @@ def build_md(out):
                 f"| {last['yspread_50km']:.3f} "
                 f"| {g(c, 'Q_out'):.3f} | {g(c, 'Q_src'):.3f} "
                 f"| {g(c, 'imbalance'):.1e} |")
-    if "S_A5" in out:
+    if any("S_" + c in out for c in ("A1", "A2", "A3", "A4", "A5", "A6")):
         lines += [
             "",
             "## Suite S (direct steady solves — PTC cross-check)",
@@ -652,7 +656,7 @@ def build_md(out):
     return lines
 
 
-def main(quick=False, suites="ABCDEF"):
+def main(quick=False, suites="ABCDEF", force=False):
     out = {}
     if os.path.exists(CACHE):
         out = json.load(open(CACHE))
@@ -676,7 +680,7 @@ def main(quick=False, suites="ABCDEF"):
     if "F" in suites:
         suite_F(out, quick)
     if "S" in suites:
-        suite_S(out, quick)
+        suite_S(out, quick, force=force)
     # persist the (hours-of-compute) results cache BEFORE rendering the
     # markdown, so a rendering error cannot lose them
     with open(CACHE, "w") as f:
@@ -688,10 +692,11 @@ def main(quick=False, suites="ABCDEF"):
 
 if __name__ == "__main__":
     quick = "--quick" in sys.argv
+    force = "--force" in sys.argv
     suites = "ABCDEF"
     for i, a in enumerate(sys.argv):
         if a == "--suites":
             suites = sys.argv[i + 1]
         elif a.startswith("--suites="):
             suites = a.split("=", 1)[1]
-    main(quick=quick, suites=suites)
+    main(quick=quick, suites=suites, force=force)
