@@ -187,6 +187,7 @@ def solve(md, *, resume: bool = False, progress: bool = True):
     # distributed (node-sharded SPMD) execution through the same protocol:
     # set md.distributed = True (or CLI --dist) with >1 jax device
     import dataclasses as _dc
+    grp_info = None
     if dist_on:
         from shakti_tpu.parallel import halo as _H
         from shakti_tpu.parallel.dist import (gather_state,
@@ -206,6 +207,23 @@ def solve(md, *, resume: bool = False, progress: bool = True):
             state = jax.tree_util.tree_map(loc, state)
         extract = lambda st: gather_state(plan, st)
         pack_fn = None
+        grp_info = plan.get("group")
+        if grp_info is not None:
+            run_group = grp_info["run"]
+            omax_g = grp_info["omax"]
+            own_p, own_slot = grp_info["own_p"], grp_info["own_slot"]
+
+            def unpack_row(row, wlen):
+                """One pulled (P*(4*omax+4*wlen),) group row -> (flat
+                solver-order 4*n state fields, (4, wlen) diagnostics).
+                Owned slots stitch by precomputed shard/slot indices; the
+                diagnostics block is replicated — read shard 0's copy."""
+                W = 4 * omax_g + 4 * wlen
+                base = own_p * W + own_slot
+                flat = np.concatenate(
+                    [row[base + k * omax_g] for k in range(4)])
+                return flat, row[4 * omax_g:4 * omax_g + 4 * wlen].reshape(
+                    4, wlen)
     else:
         mesh, static, state0, cfg = md.freeze()
         if state is None:
@@ -255,38 +273,48 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         [pack_fn(st), _diag_cat(d).astype(st.N.dtype)]))
         if pack_fn is not None else None)
 
-    # grouped device calls (single-device path only): scan over b
-    # consecutive save windows ON DEVICE, accumulating one packed
-    # (state row + diag row) per window, and pull the (b, 4n+4*wlen)
-    # result once — per-window dispatch and transfer round trips each
-    # cost tens of ms through the TPU tunnel, and at the flagship's
-    # cadence (24-step windows, checkpoint every 50) this reduces the
-    # device<->host chatter per checkpoint interval from ~100 round
-    # trips to 2.  The on-device row buffer is capped at ~32 MB.
-    _group_jits = {}
-
-    def run_group(st, f_grp):
-        key = tuple(jax.tree_util.tree_map(
-            lambda a: a.shape, f_grp)["dt"])  # (b, wlen)
-        if key not in _group_jits:
-            def gbody(s, f_win):
-                s, diags = run_window(step_fn, s, f_win)
-                return s, _jnp.concatenate(
-                    [pack_fn(s), _diag_cat(diags).astype(s.N.dtype)])
-            _group_jits[key] = jax.jit(
-                lambda s, f: jax.lax.scan(gbody, s, f))
-        return _group_jits[key](st, f_grp)
-
+    # grouped device calls: scan over b consecutive save windows ON
+    # DEVICE, accumulating one packed (state row + diag row) per window,
+    # and pull the (b, ...) result once — per-window dispatch and
+    # transfer round trips each cost tens of ms through the TPU tunnel,
+    # and at the flagship's cadence (24-step windows, checkpoint every
+    # 50) this reduces the device<->host chatter per checkpoint interval
+    # from ~100 round trips to 2.  The on-device row buffer is capped at
+    # ~32 MB (per device on the dist path, whose grouped runner lives in
+    # parallel/dist.py and emits owned rows only).
+    itemsize = _jnp.dtype(md.dtype).itemsize        # f64 rows are 2x f32
     if pack_all is not None:
-        row_elems = 4 * n_nodes + 4 * nt_save
-        itemsize = _jnp.dtype(md.dtype).itemsize    # f64 rows are 2x f32
-        max_group = max(1, min(64, int(32e6 / (itemsize * row_elems))))
-        if os.environ.get("SHAKTI_RUN_GROUP"):       # A/B + test override
-            max_group = max(1, int(os.environ["SHAKTI_RUN_GROUP"]))
-    else:
-        max_group = 1                        # dist path: per-window host gather
+        _group_jits = {}
 
-    newton_total = cg_total = 0
+        def run_group(st, f_grp):
+            key = tuple(jax.tree_util.tree_map(
+                lambda a: a.shape, f_grp)["dt"])  # (b, wlen)
+            if key not in _group_jits:
+                def gbody(s, f_win):
+                    s, diags = run_window(step_fn, s, f_win)
+                    return s, _jnp.concatenate(
+                        [pack_fn(s), _diag_cat(diags).astype(s.N.dtype)])
+                _group_jits[key] = jax.jit(
+                    lambda s, f: jax.lax.scan(gbody, s, f))
+            return _group_jits[key](st, f_grp)
+
+        def unpack_row(row, wlen):
+            return (row[:4 * n_nodes],
+                    row[4 * n_nodes:].reshape(4, wlen))
+
+        row_elems = 4 * n_nodes + 4 * nt_save
+        max_group = max(1, min(64, int(32e6 / (itemsize * row_elems))))
+    elif dist_on and grp_info is not None:
+        # per-DEVICE buffer row (owned slots + diagnostics)
+        row_elems = 4 * omax_g + 4 * nt_save
+        max_group = max(1, min(64, int(32e6 / (itemsize * row_elems))))
+    else:
+        max_group = 1
+    if (pack_all is not None or (dist_on and grp_info is not None)) \
+            and os.environ.get("SHAKTI_RUN_GROUP"):  # A/B + test override
+        max_group = max(1, int(os.environ["SHAKTI_RUN_GROUP"]))
+
+    newton_total = cg_total = host_pulls = 0
     t0 = time.time()
     unp = md.node_iperm if md.node_iperm is not None else slice(None)
 
@@ -335,24 +363,28 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         jax dispatch is async), so the device->host transfers, history
         writes, and rolling checkpoints hide under compute instead of
         serializing with it."""
+        nonlocal host_pulls
         kind, grp, payload, ck_state = item
         if kind == "group":
             rows = np.asarray(payload)                     # ONE pull
+            host_pulls += 1
             for j, (i0, wlen_j, _) in enumerate(grp):
-                last = consume(i0, wlen_j, rows[j, :4 * n_nodes],
-                               rows[j, 4 * n_nodes:].reshape(4, wlen_j),
-                               ck_state)
+                flat, dg = unpack_row(rows[j], wlen_j)
+                last = consume(i0, wlen_j, flat, dg, ck_state)
             return last
         i0, wlen, do_save = grp[0]
         diags = payload
         if do_save and pack_all is not None:
             both = np.asarray(pack_all(ck_state, diags))
+            host_pulls += 1
             flat = both[:4 * n_nodes]
             dg = both[4 * n_nodes:].reshape(4, wlen)
         else:
             dg = np.asarray(pack_diag(diags)).reshape(4, wlen)
+            host_pulls += 1
             if do_save:
                 gs = extract(ck_state)
+                host_pulls += 1
                 flat = np.concatenate(
                     [np.asarray(gs.N), np.asarray(gs.b),
                      np.asarray(gs.q[:, 0]), np.asarray(gs.q[:, 1])])
@@ -414,4 +446,6 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         "newton_iters_total": newton_total,
         "cg_iters_total": cg_total,
         "steps": nt - start_step,
+        # device->host transfer events during the loop (grouping A/B metric)
+        "host_pulls": host_pulls,
     }

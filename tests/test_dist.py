@@ -181,6 +181,36 @@ def test_distributed_solve_protocol_matches_single(tmp_path):
         assert os.path.exists(os.path.join(str(tmp_path / "dist"), f))
 
 
+def test_distributed_grouped_dispatch(tmp_path, monkeypatch):
+    """Grouped dispatch on the dist path (the dist twin of api/run.py's
+    run_group, replacing the reference's per-save rank-0 gather funnel,
+    solvers.py:205-215): the packed owned-row group pulls must be
+    BIT-identical to the per-window gather path and cut host round trips
+    by >=10x."""
+    import dataclasses
+    from shakti_tpu.api.run import solve
+
+    def build(name):
+        md = slab.initialize(nx=8, ny=8, days=20.0, nt_per_day=2,
+                             results_name=str(tmp_path / name))
+        md.solver = dataclasses.replace(md.solver, precond="jacobi")
+        md.nt_save = 2
+        md.nt_check = 10_000        # no checkpoint cuts inside the horizon
+        md.distributed = True
+        return md
+
+    monkeypatch.setenv("SHAKTI_RUN_GROUP", "1")     # per-window gathers
+    out1 = solve(build("win"), progress=False)
+    monkeypatch.delenv("SHAKTI_RUN_GROUP")
+    out2 = solve(build("grp"), progress=False)
+
+    for k in ("N", "b", "qx", "qy"):
+        np.testing.assert_array_equal(np.asarray(out1["history"][k]),
+                                      np.asarray(out2["history"][k]))
+    assert out2["host_pulls"] * 10 <= out1["host_pulls"], (
+        out2["host_pulls"], out1["host_pulls"])
+
+
 def test_distributed_resume(tmp_path):
     """Checkpoint/resume across the distributed path."""
     import dataclasses
