@@ -3,46 +3,61 @@
 Replaces `dolfinx.io.gmshio.read_from_msh` as used by the reference to load
 its production meshes (reference setups/setup_cooke2.py:19; meshes produced
 offline by notebooks/create_mesh.ipynb via pygmsh).  Supports the MSH 4.1
-and legacy 2.2 ASCII formats, extracting 2-D triangle meshes: returns
-(nodes (n, 2) float64, cells (c, 3) int32) with nodes renumbered densely in
-file order.  Partitioning/distribution is NOT done here — the TPU build
-partitions explicitly (shakti_tpu.parallel.partition), not inside the
-reader like DOLFINx does.
+and legacy 2.2 formats in BOTH ASCII and binary encodings — gmsh writes
+binary by default under `Mesh.Binary=1`, and `gmshio.read_from_msh` accepts
+either, so a production mesh file must simply load.  Extracts 2-D triangle
+meshes: returns (nodes (n, 2) float64, cells (c, 3) int32) with nodes
+renumbered densely in file order.  Partitioning/distribution is NOT done
+here — the TPU build partitions explicitly (shakti_tpu.parallel.partition),
+not inside the reader like DOLFINx does.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 
 
 def read_msh(path: str):
-    with open(path) as f:
-        lines = f.read().splitlines()
-    i = 0
+    with open(path, "rb") as f:
+        data = f.read()
 
-    def section(name):
-        nonlocal i
-        while i < len(lines) and lines[i].strip() != f"${name}":
-            i += 1
-        if i >= len(lines):
-            return False
-        i += 1
-        return True
-
-    # format version
-    i = 0
-    if not section("MeshFormat"):
+    k = data.find(b"$MeshFormat")
+    if k < 0:
         raise ValueError(f"{path}: not a gmsh .msh file (no $MeshFormat)")
-    version = float(lines[i].split()[0])
-    if lines[i].split()[1] != "0":
-        raise ValueError(f"{path}: binary .msh not supported (ASCII only)")
+    eol = data.index(b"\n", k)
+    hdr = data[eol + 1:data.index(b"\n", eol + 1)].split()
+    version = float(hdr[0])
+    binary = int(hdr[1]) == 1
+    data_size = int(hdr[2])
 
-    if version >= 4.0:
-        nodes, tags = _read_nodes_v4(lines)
-        cells_raw = _read_elements_v4(lines)
+    if binary:
+        if data_size != 8:
+            raise ValueError(f"{path}: unsupported binary data-size "
+                             f"{data_size} (expected 8)")
+        # endianness probe: the int 1 written right after the format line
+        probe = data[data.index(b"\n", eol + 1) + 1:][:4]
+        if struct.unpack("<i", probe)[0] == 1:
+            en = "<"
+        elif struct.unpack(">i", probe)[0] == 1:
+            en = ">"
+        else:
+            raise ValueError(f"{path}: bad binary endianness probe")
+        if version >= 4.0:
+            nodes, tags = _read_nodes_v4_bin(data, en)
+            cells_raw = _read_elements_v4_bin(data, en)
+        else:
+            nodes, tags = _read_nodes_v2_bin(data, en)
+            cells_raw = _read_elements_v2_bin(data, en)
     else:
-        nodes, tags = _read_nodes_v2(lines)
-        cells_raw = _read_elements_v2(lines)
+        lines = data.decode("latin-1").splitlines()
+        if version >= 4.0:
+            nodes, tags = _read_nodes_v4(lines)
+            cells_raw = _read_elements_v4(lines)
+        else:
+            nodes, tags = _read_nodes_v2(lines)
+            cells_raw = _read_elements_v2(lines)
 
     # renumber: gmsh node tags are arbitrary
     remap = {t: k for k, t in enumerate(tags)}
@@ -52,6 +67,111 @@ def read_msh(path: str):
         raise ValueError(f"{path}: no triangle elements found")
     return np.asarray(nodes, dtype=np.float64)[:, :2], cells
 
+
+# ---------------------------------------------------------------- binary
+
+def _bin_section(data: bytes, name: str) -> int:
+    """Byte offset just past the '$<name>\\n' marker."""
+    k = data.find(b"$" + name.encode())
+    if k < 0:
+        raise ValueError(f"missing ${name} section")
+    # tolerate \r\n
+    return data.index(b"\n", k) + 1
+
+
+class _Cursor:
+    """Sequential binary reads from a bytes buffer."""
+
+    def __init__(self, data: bytes, off: int, en: str):
+        self.d, self.o, self.en = data, off, en
+
+    def ints(self, n):
+        v = np.frombuffer(self.d, dtype=self.en + "i4", count=n,
+                          offset=self.o)
+        self.o += 4 * n
+        return v.astype(np.int64)
+
+    def size_ts(self, n):
+        v = np.frombuffer(self.d, dtype=self.en + "u8", count=n,
+                          offset=self.o)
+        self.o += 8 * n
+        return v.astype(np.int64)
+
+    def doubles(self, n):
+        v = np.frombuffer(self.d, dtype=self.en + "f8", count=n,
+                          offset=self.o)
+        self.o += 8 * n
+        return v
+
+
+def _read_nodes_v4_bin(data, en):
+    c = _Cursor(data, _bin_section(data, "Nodes"), en)
+    n_blocks, n_nodes, _, _ = c.size_ts(4)
+    tags, coords = [], []
+    for _ in range(n_blocks):
+        _, _, parametric = c.ints(3)
+        (n_in_block,) = c.size_ts(1)
+        tags.extend(c.size_ts(n_in_block).tolist())
+        if parametric:
+            raise ValueError("parametric node blocks not supported")
+        xyz = c.doubles(3 * n_in_block).reshape(n_in_block, 3)
+        coords.extend(xyz.tolist())
+    return coords, tags
+
+
+_V4_NODES_PER_TYPE = {1: 2, 2: 3, 3: 4, 4: 4, 15: 1}
+
+
+def _read_elements_v4_bin(data, en):
+    c = _Cursor(data, _bin_section(data, "Elements"), en)
+    n_blocks, *_ = c.size_ts(4)
+    tris = []
+    for _ in range(n_blocks):
+        _, _, etype = c.ints(3)
+        (n_in_block,) = c.size_ts(1)
+        etype = int(etype)
+        if etype not in _V4_NODES_PER_TYPE:
+            raise ValueError(f"unsupported element type {etype} in binary "
+                             ".msh (extend _V4_NODES_PER_TYPE)")
+        nn = _V4_NODES_PER_TYPE[etype]
+        rec = c.size_ts((1 + nn) * n_in_block).reshape(n_in_block, 1 + nn)
+        if etype == 2:
+            tris.extend(map(tuple, rec[:, 1:4].tolist()))
+    return tris
+
+
+def _read_nodes_v2_bin(data, en):
+    off = _bin_section(data, "Nodes")
+    eol = data.index(b"\n", off)
+    n = int(data[off:eol])
+    # v2.2 binary node record: int tag + 3 doubles, packed per node
+    rec = np.frombuffer(data, dtype=np.dtype([("tag", en + "i4"),
+                                              ("xyz", en + "f8", (3,))]),
+                        count=n, offset=eol + 1)
+    return rec["xyz"].tolist(), rec["tag"].astype(np.int64).tolist()
+
+
+def _read_elements_v2_bin(data, en):
+    off = _bin_section(data, "Elements")
+    eol = data.index(b"\n", off)
+    n = int(data[off:eol])
+    c = _Cursor(data, eol + 1, en)
+    tris, seen = [], 0
+    while seen < n:
+        etype, n_follow, n_etags = (int(v) for v in c.ints(3))
+        if etype not in _V4_NODES_PER_TYPE:
+            raise ValueError(f"unsupported element type {etype} in binary "
+                             ".msh v2.2")
+        nn = _V4_NODES_PER_TYPE[etype]
+        rec = c.ints((1 + n_etags + nn) * n_follow).reshape(
+            n_follow, 1 + n_etags + nn)
+        if etype == 2:
+            tris.extend(map(tuple, rec[:, 1 + n_etags:].tolist()))
+        seen += n_follow
+    return tris
+
+
+# ----------------------------------------------------------------- ASCII
 
 def _find(lines, name):
     for k, ln in enumerate(lines):
@@ -117,12 +237,36 @@ def _read_elements_v2(lines):
     return tris
 
 
-def write_msh(path: str, nodes: np.ndarray, cells: np.ndarray):
-    """Write a minimal MSH 4.1 ASCII file (single entity block).  Mainly for
-    tests and for exporting generated meshes to gmsh-compatible tools."""
+def write_msh(path: str, nodes: np.ndarray, cells: np.ndarray,
+              binary: bool = False):
+    """Write a minimal MSH 4.1 file (single entity block), ASCII or binary
+    (little-endian, the gmsh `Mesh.Binary=1` layout).  Mainly for tests and
+    for exporting generated meshes to gmsh-compatible tools."""
     nodes = np.asarray(nodes, dtype=np.float64)
     cells = np.asarray(cells, dtype=np.int64)
     n, c = nodes.shape[0], cells.shape[0]
+    if binary:
+        with open(path, "wb") as f:
+            f.write(b"$MeshFormat\n4.1 1 8\n")
+            f.write(struct.pack("<i", 1))
+            f.write(b"\n$EndMeshFormat\n$Nodes\n")
+            f.write(np.asarray([1, n, 1, n], dtype="<u8").tobytes())
+            f.write(np.asarray([2, 1, 0], dtype="<i4").tobytes())
+            f.write(np.asarray([n], dtype="<u8").tobytes())
+            f.write((np.arange(n, dtype="<u8") + 1).tobytes())
+            xyz = np.zeros((n, 3))
+            xyz[:, :2] = nodes[:, :2]
+            f.write(xyz.astype("<f8").tobytes())
+            f.write(b"\n$EndNodes\n$Elements\n")
+            f.write(np.asarray([1, c, 1, c], dtype="<u8").tobytes())
+            f.write(np.asarray([2, 1, 2], dtype="<i4").tobytes())
+            f.write(np.asarray([c], dtype="<u8").tobytes())
+            rec = np.empty((c, 4), dtype="<u8")
+            rec[:, 0] = np.arange(c) + 1
+            rec[:, 1:] = cells + 1
+            f.write(rec.tobytes())
+            f.write(b"\n$EndElements\n")
+        return
     with open(path, "w") as f:
         f.write("$MeshFormat\n4.1 0 8\n$EndMeshFormat\n")
         f.write(f"$Nodes\n1 {n} 1 {n}\n")
