@@ -31,6 +31,7 @@ import numpy as np
 from shakti_tpu.io import checkpoint as ckpt
 from shakti_tpu.solve.timestep import (make_forcing, make_step_fn,
                                        run_window)
+from shakti_tpu.utils.multihost import to_host
 
 
 class ConvergenceError(RuntimeError):
@@ -96,6 +97,14 @@ def solve(md, *, resume: bool = False, progress: bool = True):
     """
     md.validate()
     dist_on = bool(getattr(md, "distributed", False)) and len(jax.devices()) > 1
+    # multi-process (pod) launches (utils/multihost.py): all results IO
+    # funnels through process 0, matching the reference's rank-0 gather
+    # funnel (reference solvers.py:86-102,205-215).  Collectives (the
+    # to_host allgathers inside extract/process) still run on EVERY
+    # process — the host loop below is itself SPMD.  Resume reads assume
+    # a shared filesystem, like the reference's results dir.
+    nproc = jax.process_count()
+    primary = jax.process_index() == 0
     timesteps = np.asarray(md.timesteps, dtype=np.float64)
     nt = timesteps.size
     nt_save = int(md.nt_save) if md.nt_save else 1
@@ -118,19 +127,32 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         if loaded is not None:
             state, start_step, row = loaded
         else:
-            try:
-                os.makedirs(rdir, exist_ok=False)
-            except FileExistsError:
+            # pre-existing-dir abort, coordinated like the reference's
+            # bcast'd error code (solvers.py:91-102): only the primary
+            # probes/creates; its verdict is broadcast so every process
+            # raises (instead of the others hanging at the first
+            # collective after a lone primary abort)
+            ok = True
+            if primary:
+                try:
+                    os.makedirs(rdir, exist_ok=False)
+                except FileExistsError:
+                    ok = False
+            if nproc > 1:
+                from jax.experimental import multihost_utils as _mhu
+                ok = bool(_mhu.broadcast_one_to_all(np.int32(ok)))
+            if not ok:
                 raise FileExistsError(
                     f"Error: Directory '{rdir}' already exists.\n"
                     "Choose another name in setup file or delete this directory.")
-        t_i = np.linspace(0, timesteps.max(), n_saves)
-        np.save(os.path.join(rdir, "t.npy"), t_i)
-        np.save(os.path.join(rdir, "nodes_x.npy"), md.x)
-        np.save(os.path.join(rdir, "nodes_y.npy"), md.y)
-        if md.setup_file and os.path.exists(str(md.setup_file)):
-            shutil.copy(str(md.setup_file),
-                        os.path.join(rdir, os.path.basename(str(md.setup_file))))
+        if primary:
+            t_i = np.linspace(0, timesteps.max(), n_saves)
+            np.save(os.path.join(rdir, "t.npy"), t_i)
+            np.save(os.path.join(rdir, "nodes_x.npy"), md.x)
+            np.save(os.path.join(rdir, "nodes_y.npy"), md.y)
+            if md.setup_file and os.path.exists(str(md.setup_file)):
+                shutil.copy(str(md.setup_file),
+                            os.path.join(rdir, os.path.basename(str(md.setup_file))))
 
     # history rows carry the marching dtype (f32 on TPU): widening to f64
     # would add no information and double the rolling-checkpoint IO volume.
@@ -160,12 +182,16 @@ def solve(md, *, resume: bool = False, progress: bool = True):
                                          shape=(n_saves, n_nodes))
 
     if io_on:
-        hist = {k: _open_hist(k) for k in ("N", "b", "qx", "qy")}
+        # non-primary processes hold no history buffers at all (at 10M
+        # dof x daily saves the in-memory alternative would replicate
+        # GBs per host for rows only the primary ever writes)
+        hist = ({k: _open_hist(k) for k in ("N", "b", "qx", "qy")}
+                if primary else None)
     else:
         hist = {k: np.zeros((n_saves, n_nodes), dtype=hist_dt)
                 for k in ("N", "b", "qx", "qy")}
     log_rows = []
-    if io_on and start_step > 0:
+    if io_on and primary and start_step > 0:
         # preserve pre-resume diagnostics (log.csv is rewritten whole)
         logf = os.path.join(rdir, "log.csv")
         if os.path.exists(logf):
@@ -175,10 +201,14 @@ def solve(md, *, resume: bool = False, progress: bool = True):
                             if ln.strip() and int(ln.split(",")[0]) < start_step]
 
     def write_histories():
+        if hist is None:
+            return
         for k in hist:
             hist[k].flush()
 
     def write_log():
+        if not primary:
+            return
         with open(os.path.join(rdir, "log.csv"), "w") as f:
             f.write("step,t,newton_mean,newton_max,cg_mean,rnorm_max\n")
             for r in log_rows:
@@ -205,6 +235,8 @@ def solve(md, *, resume: bool = False, progress: bool = True):
                 _H.localize_nodal(plan, np.asarray(a)).reshape(
                     (-1,) + np.asarray(a).shape[1:]), dtype=md.dtype)
             state = jax.tree_util.tree_map(loc, state)
+            # multi-process: sharded global placement (identity otherwise)
+            state = plan.get("place_state", lambda t: t)(state)
         extract = lambda st: gather_state(plan, st)
         pack_fn = None
         grp_info = plan.get("group")
@@ -339,9 +371,11 @@ def solve(md, *, resume: bool = False, progress: bool = True):
             return last
         # histories are written in the caller's original node order
         # (freeze may renumber nodes for block locality)
-        vals = tuple(flat[k * n_nodes:(k + 1) * n_nodes] for k in range(4))
-        for k, v in zip(("N", "b", "qx", "qy"), vals):
-            hist[k][row] = v[unp]
+        if hist is not None:
+            vals = tuple(flat[k * n_nodes:(k + 1) * n_nodes]
+                         for k in range(4))
+            for k, v in zip(("N", "b", "qx", "qy"), vals):
+                hist[k][row] = v[unp]
         log_rows.append((last, float(timesteps[last]), float(ni.mean()),
                          int(ni.max()), float(ci.mean()), float(rn.max())))
         row += 1
@@ -352,9 +386,12 @@ def solve(md, *, resume: bool = False, progress: bool = True):
             # insurance only; the carry is a recomputable cache whose
             # device->host pull + write dominates checkpoint cost — see
             # io/checkpoint.save_state); the final checkpoint keeps it
-            # so planned resumes replay bit-exactly
-            ckpt.save_state(rdir, extract(ck_state), last + 1, row,
-                            fingerprint=mesh_fp, include_lag=False)
+            # so planned resumes replay bit-exactly.  extract runs on
+            # every process (collective); only the primary writes.
+            gs = extract(ck_state)
+            if primary:
+                ckpt.save_state(rdir, gs, last + 1, row,
+                                fingerprint=mesh_fp, include_lag=False)
         return last
 
     def process(item):
@@ -366,7 +403,7 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         nonlocal host_pulls
         kind, grp, payload, ck_state = item
         if kind == "group":
-            rows = np.asarray(payload)                     # ONE pull
+            rows = to_host(payload)                        # ONE pull
             host_pulls += 1
             for j, (i0, wlen_j, _) in enumerate(grp):
                 flat, dg = unpack_row(rows[j], wlen_j)
@@ -380,7 +417,7 @@ def solve(md, *, resume: bool = False, progress: bool = True):
             flat = both[:4 * n_nodes]
             dg = both[4 * n_nodes:].reshape(4, wlen)
         else:
-            dg = np.asarray(pack_diag(diags)).reshape(4, wlen)
+            dg = to_host(pack_diag(diags)).reshape(4, wlen)
             host_pulls += 1
             if do_save:
                 gs = extract(ck_state)
@@ -411,7 +448,7 @@ def solve(md, *, resume: bool = False, progress: bool = True):
             item = ("single", grp, diags, state)
         if pending is not None:
             last = process(pending)
-            if progress and g_idx % 10 == 0:
+            if progress and primary and g_idx % 10 == 0:
                 done = last + 1
                 print(f"Time step {done} of {nt} completed "
                       f"({done / nt * 100:.1f}%)", end="\r", flush=True)
@@ -421,7 +458,7 @@ def solve(md, *, resume: bool = False, progress: bool = True):
 
     wall = time.time() - t0
     state = extract(state)
-    if io_on:
+    if io_on and primary:
         write_histories()
         write_log()
         ckpt.save_state(rdir, state, nt, row, fingerprint=mesh_fp)

@@ -77,8 +77,12 @@ def main(argv=None):
     if args.multihost:
         from shakti_tpu.utils.multihost import init_multihost
         nproc, pid, primary = init_multihost()
-        if not args.quiet:
-            print(f"multihost: process {pid}/{nproc}")
+        if not args.quiet and primary:
+            print(f"multihost: {nproc} processes")
+        if nproc > 1:
+            # multi-process execution only exists on the node-sharded
+            # path; a per-process single-device run would race on IO
+            args.dist = True
 
     setup = load_setup(args.setup)
     md = setup.initialize()

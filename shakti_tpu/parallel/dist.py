@@ -295,6 +295,41 @@ def _make_local_model(plan, axis):
     return local_model
 
 
+def _mp_placers(jmesh, axis):
+    """Multi-process global-array placement (utils/multihost.py launches).
+
+    Every process holds the FULL payload host-side (the setup runs
+    replicated, like the reference's per-rank initialize()), but
+    shard_map over the GLOBAL device mesh needs global jax.Arrays —
+    plain jnp.asarray would commit to local devices only and fail the
+    jit device-set check.  Returns (put_sharded, put_replicated), each
+    mapping a host pytree leaf to a global array; identity-free (always
+    rebuilds), so call once at setup and per forcing window only."""
+    from jax.sharding import NamedSharding
+
+    def put(leaf, spec):
+        h = np.asarray(leaf)
+        sh = NamedSharding(jmesh, spec if h.ndim else P())
+        return jax.make_array_from_callback(h.shape, sh, lambda i: h[i])
+
+    return put, (lambda tree: jax.tree_util.tree_map(
+        lambda l: put(l, P()), tree))
+
+
+def _mp_globalize_args(jmesh, axis, args, state0):
+    """Re-place the 23 assembled runner arguments + initial state as
+    global arrays matching the runner's in_specs (see body signature)."""
+    pl, rep = P(axis), P()
+    specs = ([pl] * 5 + [pl] * 8 + [pl, pl] + [pl] * 4 + [pl, rep]
+             + [rep, rep])
+    assert len(args) == len(specs), "args layout changed — update specs"
+    put, _ = _mp_placers(jmesh, axis)
+    args = [jax.tree_util.tree_map(lambda l, s=s: put(l, s), a)
+            for a, s in zip(args, specs)]
+    state0 = jax.tree_util.tree_map(lambda l: put(l, pl), state0)
+    return args, state0
+
+
 def _assemble_args(payload, mg_plan, dtype):
     """Device arrays for the shard_map body's model arguments (everything
     before the marching state), plus the stacked initial state."""
@@ -366,10 +401,18 @@ def make_distributed_steady_runner(md, jmesh=None, axis: str = "x",
     )
 
     args, state0 = _assemble_args(payload, plan["mg_plan"], md.dtype)
+    if jax.process_count() > 1:
+        args, state0 = _mp_globalize_args(jmesh, axis, args, state0)
 
-    @jax.jit
-    def runner(state):
-        return sharded(*args, state)
+        @jax.jit
+        def _runner_mp(a, state):
+            return sharded(*a, state)
+
+        runner = lambda state: _runner_mp(args, state)
+    else:
+        @jax.jit
+        def runner(state):
+            return sharded(*args, state)
 
     return runner, state0, plan
 
@@ -426,10 +469,34 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x",
 
     args, state0 = _assemble_args(payload, plan["mg_plan"], md.dtype)
 
+    _mp = jax.process_count() > 1
+    if _mp:
+        args, state0 = _mp_globalize_args(jmesh, axis, args, state0)
+        _put, _rep_tree = _mp_placers(jmesh, axis)
+        # api/run.py resume path: checkpointed global host state ->
+        # localized stacked host arrays -> global sharded placement
+        plan["place_state"] = lambda tree: jax.tree_util.tree_map(
+            lambda l: _put(l, pl), tree)
+    else:
+        _rep_tree = lambda tree: tree
+        plan["place_state"] = lambda tree: tree
+
     if control is None:
-        @jax.jit
-        def runner(state, dts):
-            return sharded(*args, state, dts)
+        if _mp:
+            # multi-process: global arrays spanning non-addressable
+            # devices cannot be closed over — pass them as arguments.
+            # (Single-process keeps the closure-constant pattern: XLA
+            # folds/dedupes constants, see api/model.make_runner.)
+            @jax.jit
+            def _runner_mp(a, state, dts):
+                return sharded(*a, state, dts)
+
+            def runner(state, dts):
+                return _runner_mp(args, state, _rep_tree(dts))
+        else:
+            @jax.jit
+            def runner(state, dts):
+                return sharded(*args, state, dts)
 
         # Grouped save-window execution — the dist twin of api/run.py's
         # run_group (replaces the reference's per-save rank-0 gather
@@ -468,7 +535,12 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x",
                      + (pl, rep) + (rep, rep, pl, rep),
             out_specs=(pl, P(None, axis)),
             check_vma=not cfg.differentiable)
-        run_group = jax.jit(lambda s, f: sh_group(*args, s, f))
+        if _mp:
+            _run_group = jax.jit(lambda a, s, f: sh_group(*a, s, f))
+            run_group = lambda s, f: _run_group(args, s, _rep_tree(f))
+        else:
+            _run_group = jax.jit(lambda s, f: sh_group(*args, s, f))
+            run_group = lambda s, f: _run_group(s, f)
 
         # host-side stitch indices: global solver-order node i is owned
         # by shard own_p[i] at local slot own_slot[i] (owned slots are
@@ -501,10 +573,15 @@ def make_distributed_runner(md, jmesh=None, axis: str = "x",
 
 
 def gather_state(plan, state_stacked: State) -> State:
-    """Stacked (P*L, ...) state -> global solver-order arrays."""
+    """Stacked (P*L, ...) state -> global solver-order arrays.
+
+    Under multi-process execution the stacked arrays are global (not
+    fully addressable): to_host runs one allgather collective, so every
+    process must reach this call — api/run.py's SPMD host loop does."""
+    from shakti_tpu.utils.multihost import to_host
     Pn, L = plan["P"], plan["L"]
     g = lambda a: jnp.asarray(
-        H.globalize_nodal(plan, np.asarray(a).reshape((Pn, L) + a.shape[1:])))
+        H.globalize_nodal(plan, to_host(a).reshape((Pn, L) + a.shape[1:])))
     return State(N=g(state_stacked.N), b=g(state_stacked.b),
                  q=g(state_stacked.q), melt=g(state_stacked.melt),
                  N_prev=g(state_stacked.N_prev))
