@@ -24,12 +24,13 @@ import time
 import jax
 import numpy as np
 
-from shakti_tpu.solve.steady import YEAR, make_steady_step, steady_solve
+from shakti_tpu.solve.steady import (YEAR, cycle_certify, make_steady_step,
+                                     steady_solve)
 
 
 def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
                  max_steps=2000, max_rel_change=0.5, stab_safety=2.0,
-                 budget=True, strict=True):
+                 budget=True, strict=True, cycle_window=0):
     """Solve the model to steady state (drift < ``tol`` per ``t_ref``).
 
     Returns a dict: steady nodal fields ``N``/``b``/``qx``/``qy`` (caller
@@ -51,6 +52,18 @@ def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
     activity at ~0.3-3/yr drift; the transient route shows the same
     physics), where the plateau state and its mass budget are still the
     meaningful scientific output.
+
+    ``cycle_window > 0`` upgrades such plateaus to a CONCLUSIVE verdict:
+    an unconverged solve continues into ``solve/steady.cycle_certify``
+    (two windows of ``cycle_window`` accepted steps; the orbit centroid
+    must stop moving to ``tol`` per ``t_ref``).  On certification the
+    returned N/b/qx/qy are the CYCLE-MEAN fields, ``info["verdict"]`` is
+    ``"cycle"``, ``info["cycle_amp_N"]``/``["cycle_amp_b"]`` report the
+    relative RMS cycle amplitude, and no error is raised even under
+    ``strict`` — a certified cycle is a conclusive answer.  Otherwise
+    ``info["verdict"]`` is ``"steady"`` (drift certificate fired) or
+    ``"no"`` (nothing certified; strict still raises).  The mass budget
+    of a cycle verdict is evaluated on the cycle-mean state.
     """
     md.validate(require_timesteps=False)
     if dt0 is None:
@@ -62,12 +75,14 @@ def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
               max_steps=max_steps, max_rel_change=max_rel_change,
               stab_safety=stab_safety)
 
-    if getattr(md, "distributed", False):
+    dist = getattr(md, "distributed", False)
+    if dist:
         # node-sharded halo path: the same PTC while-loop under shard_map
         # (psum'd norms keep every decision shard-consistent)
         from shakti_tpu.parallel.dist import (gather_state,
                                               make_distributed_steady_runner)
-        runner, st0, plan = make_distributed_steady_runner(md, **kw)
+        runner, st0, plan = make_distributed_steady_runner(
+            md, cycle_window=cycle_window, **kw)
         t0 = time.time()
         state_stacked, dinfo = runner(st0)
         state = gather_state(plan, state_stacked)
@@ -89,15 +104,46 @@ def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
     info = {k: (float(v) if np.asarray(v).dtype.kind == "f" else int(v))
             for k, v in dinfo.items()}
     info["converged"] = bool(dinfo["converged"])
+
+    certified_cycle = False
+    if not info["converged"] and cycle_window:
+        # limit-cycle certificate (solve/steady.cycle_certify): a plateau
+        # regime gets a conclusive verdict — the orbit centroid must stop
+        # moving — and the CYCLE-MEAN state becomes the output
+        dt_f = dinfo["dt"]
+        if dist:
+            mean_stacked, cinfo = plan["cycle_run"](state_stacked, dt_f)
+            mean_state = gather_state(plan, mean_stacked)
+        else:
+            cyc_runner = jax.jit(lambda s, dtv: cycle_certify(
+                step, s, params=md.params, dt=dtv, tol=tol, t_ref=t_ref,
+                window=cycle_window, max_rel_change=max_rel_change,
+                drift_mask=mask, mesh=mesh))
+            mean_state, cinfo = cyc_runner(state, dt_f)
+        certified_cycle = bool(cinfo["certified"])
+        info["cycle_rate"] = float(cinfo["cycle_rate"])
+        info["cycle_amp_N"] = float(cinfo["amp_N"])
+        info["cycle_amp_b"] = float(cinfo["amp_b"])
+        info["cycle_steps"] = int(cinfo["steps"])
+        info["cycle_window"] = int(cycle_window)
+        info["newton_total"] += int(cinfo["newton_total"])
+        info["cg_total"] += int(cinfo["cg_total"])
+        if certified_cycle:
+            state = mean_state
+    info["verdict"] = ("steady" if info["converged"]
+                       else "cycle" if certified_cycle else "no")
     info["wall_s"] = round(time.time() - t0, 3)
 
-    if not info["converged"] and strict:
+    if info["verdict"] == "no" and strict:
         from shakti_tpu.api.run import ConvergenceError
+        cyc_note = (f", cycle rate {info['cycle_rate']:.3e}"
+                    if "cycle_rate" in info else "")
         err = ConvergenceError(
             f"steady solve did not reach tol={tol:g} per {t_ref:g} s in "
             f"{max_steps} PTC steps (final drift rate "
-            f"{info['rate']:.3e}, {info['rejected']} rejected); loosen tol,"
-            f" raise max_steps, or lower stab_safety")
+            f"{info['rate']:.3e}, {info['rejected']} rejected{cyc_note}); "
+            "loosen tol, raise max_steps, lower stab_safety, or raise "
+            "cycle_window")
         err.state, err.info = state, info
         raise err
 

@@ -64,6 +64,13 @@ def main(argv=None):
                          "steady_info.json to <results_name>_steady/")
     ap.add_argument("--steady-tol", type=float, default=1e-2, metavar="TOL",
                     help="steady drift tolerance per year (default 1e-2)")
+    ap.add_argument("--cycle-window", type=int, default=0, metavar="K",
+                    help="with --steady: if the drift certificate cannot "
+                         "fire (persistently cycling regime), march two "
+                         "windows of K accepted pseudo-steps and certify "
+                         "the LIMIT CYCLE instead (orbit centroid "
+                         "stationary to tol/yr); output becomes the "
+                         "cycle-mean state (default 0 = off)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -94,11 +101,18 @@ def main(argv=None):
         import json
 
         import numpy as np
-        out = md.solve_steady(tol=args.steady_tol)
+        out = md.solve_steady(tol=args.steady_tol,
+                              cycle_window=args.cycle_window)
         info = out["info"]
-        print(f"\nsteady state in {info['steps']} PTC steps "
+        verdict = info.get("verdict", "steady")
+        print(f"\n{verdict} state in {info['steps']} PTC steps "
               f"({info['rejected']} rejected, {info['newton_total']} Newton)"
               f" — drift {info['rate']:.2e}/t_ref, wall {info['wall_s']:.2f} s")
+        if verdict == "cycle":
+            print(f"limit cycle certified: centroid rate "
+                  f"{info['cycle_rate']:.2e}/t_ref, relative amplitude "
+                  f"N {info['cycle_amp_N']:.2e} / b {info['cycle_amp_b']:.2e}"
+                  f" — fields are the cycle mean")
         if "Q_out" in out:
             print(f"mass budget: boundary discharge {float(out['Q_out']):.6g}"
                   f" vs production {float(out['Q_src']):.6g} m^3/s")

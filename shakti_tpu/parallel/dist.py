@@ -358,18 +358,23 @@ def _assemble_args(payload, mg_plan, dtype):
 
 
 def make_distributed_steady_runner(md, jmesh=None, axis: str = "x",
-                                   **steady_kw):
+                                   cycle_window: int = 0, **steady_kw):
     """(runner, state0_stacked, plan): runner(state) -> (state, info) —
     the pseudo-transient steady-state solve (solve/steady.py) on the
     node-sharded halo path.  One device program: the SER/PTC while-loop
     runs under shard_map with ghost-masked psum norms, so acceptance,
     convergence, and the global dt cap are identical decisions on every
     shard.  ``steady_kw`` forwards to :func:`steady_solve` (tol, dt0,
-    max_steps, ...); info scalars come back replicated."""
+    max_steps, ...); info scalars come back replicated.  With
+    ``cycle_window > 0`` the plan also carries ``plan["cycle_run"]``:
+    (state_stacked, dt) -> (mean_state_stacked, info) running
+    :func:`solve.steady.cycle_certify` under the same shard_map (psum'd
+    norms keep the certificate shard-consistent)."""
     jmesh = jmesh or make_device_mesh()
     payload, plan, cfg = build_distributed(md, jmesh, axis)
     params = md.params
-    from shakti_tpu.solve.steady import make_steady_step, steady_solve
+    from shakti_tpu.solve.steady import (cycle_certify, make_steady_step,
+                                         steady_solve)
 
     pl = P(axis)
     rep = P()
@@ -401,6 +406,29 @@ def make_distributed_steady_runner(md, jmesh=None, axis: str = "x",
     )
 
     args, state0 = _assemble_args(payload, plan["mg_plan"], md.dtype)
+
+    sharded_cycle = None
+    if cycle_window:
+        def body_cycle(*a):
+            state, dt = a[-2], a[-1]
+            lmesh, lstatic = local_model(*a[:-2])
+            step, _ = make_steady_step(lmesh, lstatic, params, cfg)
+            return cycle_certify(
+                step, state, params=params, dt=dt,
+                tol=steady_kw.get("tol", 1e-2),
+                t_ref=steady_kw.get("t_ref", 3.1536e7),
+                window=cycle_window,
+                max_rel_change=steady_kw.get("max_rel_change", 0.5),
+                drift_mask=~lstatic.dirichlet, mesh=lmesh)
+
+        sharded_cycle = shard_map(
+            body_cycle, mesh=jmesh,
+            in_specs=(pl,) * 5 + (pl,) * 8 + (pl, pl) + (pl,) * 4
+                     + (pl, rep) + (rep, rep, pl, rep),
+            out_specs=(pl, rep),
+            check_vma=not cfg.differentiable,
+        )
+
     if jax.process_count() > 1:
         args, state0 = _mp_globalize_args(jmesh, axis, args, state0)
 
@@ -409,10 +437,17 @@ def make_distributed_steady_runner(md, jmesh=None, axis: str = "x",
             return sharded(*a, state)
 
         runner = lambda state: _runner_mp(args, state)
+        if sharded_cycle is not None:
+            _cyc_mp = jax.jit(lambda a, s, dt: sharded_cycle(*a, s, dt))
+            plan["cycle_run"] = lambda s, dt: _cyc_mp(args, s, dt)
     else:
         @jax.jit
         def runner(state):
             return sharded(*args, state)
+
+        if sharded_cycle is not None:
+            plan["cycle_run"] = jax.jit(
+                lambda s, dt: sharded_cycle(*args, s, dt))
 
     return runner, state0, plan
 

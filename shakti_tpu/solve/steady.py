@@ -373,6 +373,165 @@ def steady_solve(step_fn, state0, *, params, dt0=3600.0, dt_max=1e9,
     return out["state"], info
 
 
+def cycle_certify(step_fn, state0, *, params, dt, tol=1e-2, t_ref=YEAR,
+                  window=400, max_attempts=None, shrink=0.25,
+                  max_rel_change=0.5, drift_mask=None, mesh=None):
+    """Certify a PTC plateau as a statistically-stationary limit cycle.
+
+    High-melt regimes keep genuinely persistent channelization dynamics
+    (module docstring: SHMIP A3/A5 plateau at ~0.3-3/yr; the transient
+    route's own year-over-year metrics still move at year 10-12), so the
+    pointwise drift certificate can NEVER fire there.  The conclusive
+    statement for such a regime is a CYCLE certificate: the orbit's
+    centroid has stopped moving even though the state has not.  March two
+    consecutive windows of ``window`` ACCEPTED steps from the plateau at
+    its final pseudo-timestep (no SER — the plateau march was stable
+    there; rejections shrink dt and it regrows toward the input value),
+    accumulate each window's time-mean state, and certify when the two
+    window means agree to ``tol`` per ``t_ref`` of pseudo-time:
+
+        cycle_rate = max_f ||mean2_f - mean1_f|| / ||mean1_f||
+                     * t_ref / T_window   < tol      (f in {N, b})
+
+    A window shorter than the cycle period leaves consecutive means
+    different and honestly fails the certificate (raise ``window``); a
+    slow true transient fails it the same way.  Accumulation is centered
+    on the entry state (sums of N_k - N0), so the variance subtraction is
+    computed on amplitude-scale numbers — safe in f32.
+
+    Returns ``(mean_state, info)``: mean_state is the window-2 time-mean
+    (the scientifically meaningful output of a cycling regime — the
+    reference has no analogue); info scalars (still on device):
+    ``certified``, ``cycle_rate``, ``amp_N`` / ``amp_b`` (relative RMS
+    deviation of window 2 around its mean — the cycle amplitude),
+    ``steps`` / ``accepted`` / ``rejected``, ``t_window`` (pseudo-time of
+    window 2), ``newton_total`` / ``cg_total``.  Works on the halo path
+    via ``mesh`` like :func:`steady_solve` (psum'd norms).
+    """
+    if max_attempts is None:
+        max_attempts = 4 * window
+    sharded = mesh is not None and mesh.halo is not None
+    pall = ((lambda x: jax.lax.pmin(x.astype(jnp.int32),
+                                    mesh.halo.axis) > 0) if sharded
+            else (lambda x: x))
+    dtype = state0.N.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    f = lambda v: jnp.asarray(v, dtype)
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    act = None if drift_mask is None else jnp.asarray(drift_mask, dtype)
+    if sharded and act is not None:
+        act = act * mesh.halo.owned_mask
+
+    def mnorm(x, m=None):
+        x = x if m is None else x * m
+        return mesh.halo.norm(x) if sharded else jnp.linalg.norm(x)
+
+    N0, b0 = state0.N, state0.b
+    q0, melt0 = state0.q, state0.melt
+    zeros = lambda a: jnp.zeros_like(a)
+
+    def body(c):
+        state = c["state"]
+        new_state, d = step_fn(state, c["dt"])
+        finite = pall(jnp.all(jnp.isfinite(new_state.N))
+                      & jnp.all(jnp.isfinite(new_state.b)))
+        rel_b = mnorm(new_state.b - state.b, act) \
+            / jnp.maximum(mnorm(state.b, act), tiny)
+        accept = d["converged"] & finite & (rel_b <= max_rel_change)
+        sel = lambda a, b: jnp.where(accept, a, b)
+        out_state = jax.tree_util.tree_map(sel, new_state, state)
+        add = lambda s, v: s + jnp.where(accept, v, zeros(v))
+        # centered accumulators (around the ENTRY state, f32-safe)
+        sN = add(c["sN"], out_state.N - N0)
+        sb = add(c["sb"], out_state.b - b0)
+        sq = add(c["sq"], out_state.q - q0)
+        sm = add(c["sm"], out_state.melt - melt0)
+        s2N = c["s2N"] + jnp.where(accept,
+                                   mnorm(out_state.N - N0, act) ** 2, f(0.0))
+        s2b = c["s2b"] + jnp.where(accept,
+                                   mnorm(out_state.b - b0, act) ** 2, f(0.0))
+        n = c["n"] + accept.astype(jnp.int32)
+        tw = c["tw"] + jnp.where(accept, c["dt"], f(0.0))
+        win_done = n >= window
+        K = jnp.maximum(n, 1).astype(dtype)
+        # on rejection shrink; otherwise regrow toward the plateau dt
+        dt_new = jnp.where(accept,
+                           jnp.minimum(c["dt"] * f(1.2), f(dt)),
+                           c["dt"] * f(shrink))
+        phase_new = c["phase"] + win_done.astype(jnp.int32)
+        keep1 = win_done & (c["phase"] == 0)
+        sel1 = lambda m1, s: jnp.where(keep1, s / K, m1)
+        return {
+            "state": out_state, "dt": dt_new, "phase": phase_new,
+            "n": jnp.where(win_done, i32(0), n),
+            "tw": jnp.where(win_done, f(0.0), tw),
+            "t1": jnp.where(keep1, tw, c["t1"]),
+            "sN": jnp.where(win_done, zeros(sN), sN),
+            "sb": jnp.where(win_done, zeros(sb), sb),
+            "sq": jnp.where(win_done, zeros(sq), sq),
+            "sm": jnp.where(win_done, zeros(sm), sm),
+            "s2N": jnp.where(win_done, f(0.0), s2N),
+            "s2b": jnp.where(win_done, f(0.0), s2b),
+            "m1N": sel1(c["m1N"], sN), "m1b": sel1(c["m1b"], sb),
+            "m2N": jnp.where(win_done, sN / K, c["m2N"]),
+            "m2b": jnp.where(win_done, sb / K, c["m2b"]),
+            "m2q": jnp.where(win_done, sq / K, c["m2q"]),
+            "m2m": jnp.where(win_done, sm / K, c["m2m"]),
+            "v2N": jnp.where(win_done, s2N / K, c["v2N"]),
+            "v2b": jnp.where(win_done, s2b / K, c["v2b"]),
+            "t2": jnp.where(win_done, tw, c["t2"]),
+            "k": c["k"] + 1,
+            "accepted": c["accepted"] + accept.astype(jnp.int32),
+            "rejected": c["rejected"] + (~accept).astype(jnp.int32),
+            "newton_total": c["newton_total"] + d["newton_iters"],
+            "cg_total": c["cg_total"] + d["cg_iters"],
+        }
+
+    init = {
+        "state": state0, "dt": f(dt), "phase": i32(0),
+        "n": i32(0), "tw": f(0.0), "t1": f(0.0),
+        "sN": zeros(N0), "sb": zeros(b0), "sq": zeros(q0),
+        "sm": zeros(melt0),
+        "s2N": f(0.0), "s2b": f(0.0),
+        "m1N": zeros(N0), "m1b": zeros(b0),
+        "m2N": zeros(N0), "m2b": zeros(b0), "m2q": zeros(q0),
+        "m2m": zeros(melt0),
+        "v2N": f(0.0), "v2b": f(0.0), "t2": f(0.0),
+        "k": i32(0), "accepted": i32(0), "rejected": i32(0),
+        "newton_total": i32(0), "cg_total": i32(0),
+    }
+    out = jax.lax.while_loop(
+        lambda c: (c["phase"] < 2) & (c["k"] < max_attempts), body, init)
+
+    # window means (offsets restored), drift of the orbit centroid
+    mean_state = dataclasses.replace(
+        state0, N=N0 + out["m2N"], b=b0 + out["m2b"], q=q0 + out["m2q"],
+        melt=melt0 + out["m2m"],
+        N_prev=(None if state0.N_prev is None else N0 + out["m2N"]))
+    nrm = lambda x, off: jnp.maximum(mnorm(x + off, act)
+                                     if act is not None
+                                     else mnorm(x + off), tiny)
+    t2 = jnp.maximum(out["t2"], tiny)
+    dN = mnorm(out["m2N"] - out["m1N"], act) / nrm(out["m1N"], N0)
+    db = mnorm(out["m2b"] - out["m1b"], act) / nrm(out["m1b"], b0)
+    cycle_rate = jnp.maximum(dN, db) * f(t_ref) / t2
+    # relative RMS amplitude of window 2 around its mean:
+    # Var = E||x - x0||^2 - ||mean - x0||^2  (centered, f32-safe)
+    ampN = jnp.sqrt(jnp.maximum(
+        out["v2N"] - mnorm(out["m2N"], act) ** 2, f(0.0))) / nrm(out["m2N"], N0)
+    ampb = jnp.sqrt(jnp.maximum(
+        out["v2b"] - mnorm(out["m2b"], act) ** 2, f(0.0))) / nrm(out["m2b"], b0)
+    done = out["phase"] >= 2
+    info = {
+        "certified": done & (cycle_rate < tol),
+        "cycle_rate": cycle_rate, "amp_N": ampN, "amp_b": ampb,
+        "t_window": out["t2"], "steps": out["k"],
+        "accepted": out["accepted"], "rejected": out["rejected"],
+        "newton_total": out["newton_total"], "cg_total": out["cg_total"],
+    }
+    return mean_state, info
+
+
 def make_steady_step(mesh, static, params, cfg):
     """The PTC iteration: the fused timestep with the semi-implicit gap
     update, no dt-halving wrapper, no operator carry, and no guess

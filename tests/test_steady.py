@@ -108,6 +108,79 @@ def test_steady_strict_false_returns_plateau(slab_steady):
     assert np.isfinite(float(out["Q_out"])) and np.isfinite(float(out["Q_src"]))
 
 
+def test_cycle_certificate_certifies_stationary_orbit(slab_steady):
+    """cycle_certify from a certified STEADY state: the orbit is a fixed
+    point — a degenerate zero-amplitude cycle — so consecutive window
+    means must agree, the amplitude must be tiny, and the cycle mean must
+    reproduce the state."""
+    from shakti_tpu.solve.steady import cycle_certify, make_steady_step
+
+    md, out = slab_steady
+    mesh, static, _, cfg = md.freeze()
+    step, _ = make_steady_step(mesh, static, md.params, cfg)
+    s = out["state"]
+    if s.lag_op is not None:
+        s = dataclasses.replace(s, lag_op=None)
+    runner = jax.jit(lambda st, dt: cycle_certify(
+        step, st, params=md.params, dt=dt, tol=TOL, window=10,
+        drift_mask=~static.dirichlet, mesh=mesh))
+    mean, info = runner(s, np.float64(min(out["info"]["dt"], 1e6)))
+    assert bool(info["certified"])
+    assert float(info["cycle_rate"]) < TOL
+    assert float(info["amp_N"]) < 1e-3 and float(info["amp_b"]) < 1e-2
+    # the fixture state still drifts at up to TOL/yr, and the cycle phase
+    # marches ~0.6 pseudo-years — the mean tracks the (slowly moving)
+    # state to that budget, not to machine precision
+    np.testing.assert_allclose(np.asarray(mean.N), np.asarray(s.N),
+                               rtol=5e-2)
+    np.testing.assert_allclose(np.asarray(mean.b), np.asarray(s.b),
+                               rtol=2e-1)
+
+
+def test_cycle_certificate_rejects_moving_transient(slab_steady):
+    """A state still EQUILIBRATING must fail the cycle certificate (the
+    window means keep moving): a stalled-looking transient cannot be
+    laundered into a 'certified cycle' verdict."""
+    md, _ = slab_steady
+    out = md.solve_steady(tol=1e-8, max_steps=40, strict=False,
+                          cycle_window=15)
+    info = out["info"]
+    assert not info["converged"]
+    assert info["verdict"] == "no"
+    assert info["cycle_rate"] > 1e-8       # orbit centroid still moving
+    assert "cycle_amp_N" in info and np.isfinite(info["cycle_amp_N"])
+
+
+def test_cycle_verdict_fields_present_on_steady(slab_steady):
+    _, out = slab_steady
+    assert out["info"]["verdict"] == "steady"
+
+
+def test_distributed_cycle_certificate_matches_single_device(slab_steady):
+    """plan["cycle_run"] (shard_map'd cycle_certify, psum'd norms) must
+    certify the converged steady state as a degenerate zero-amplitude
+    cycle, with the cycle mean on top of the single-device steady state."""
+    from shakti_tpu.parallel.dist import (gather_state,
+                                          make_distributed_steady_runner)
+    from shakti_tpu.parallel.shard import make_device_mesh
+
+    md, out1 = slab_steady
+    jmesh = make_device_mesh(8)
+    runner, st0, plan = make_distributed_steady_runner(
+        md, jmesh, cycle_window=10, tol=TOL, max_steps=1600)
+    state, info = runner(st0)
+    assert bool(np.asarray(info["converged"]))
+    mean_stacked, cinfo = plan["cycle_run"](
+        state, np.minimum(np.asarray(info["dt"]), 1e6))
+    assert bool(np.asarray(cinfo["certified"]))
+    assert float(np.asarray(cinfo["cycle_rate"])) < TOL
+    assert float(np.asarray(cinfo["amp_N"])) < 1e-3
+    mg = gather_state(plan, mean_stacked)
+    relN = (np.linalg.norm(np.asarray(mg.N) - out1["state"].N)
+            / np.linalg.norm(out1["state"].N))
+    assert relN < 5e-2
+
+
 def test_semi_implicit_gap_update_is_second_order_consistent():
     """b_update='semi_implicit' must agree with the reference-exact
     explicit update to O(dt^2) (same N trajectory: the N-solve precedes
