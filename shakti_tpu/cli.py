@@ -64,6 +64,12 @@ def main(argv=None):
                          "steady_info.json to <results_name>_steady/")
     ap.add_argument("--steady-tol", type=float, default=1e-2, metavar="TOL",
                     help="steady drift tolerance per year (default 1e-2)")
+    ap.add_argument("--polish", action="store_true",
+                    help="with --steady: after the PTC march, solve the "
+                         "coupled (N, b) steady system directly by "
+                         "monolithic Newton (certifies channelized "
+                         "regimes the staggered march plateaus on; "
+                         "single-device only)")
     ap.add_argument("--cycle-window", type=int, default=0, metavar="K",
                     help="with --steady: if the drift certificate cannot "
                          "fire (persistently cycling regime), march two "
@@ -102,7 +108,8 @@ def main(argv=None):
 
         import numpy as np
         out = md.solve_steady(tol=args.steady_tol,
-                              cycle_window=args.cycle_window)
+                              cycle_window=args.cycle_window,
+                              polish=args.polish)
         info = out["info"]
         verdict = info.get("verdict", "steady")
         print(f"\n{verdict} state in {info['steps']} PTC steps "

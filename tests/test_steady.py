@@ -156,6 +156,20 @@ def test_cycle_verdict_fields_present_on_steady(slab_steady):
     assert out["info"]["verdict"] == "steady"
 
 
+def test_solve_steady_polish_verdict(slab_steady):
+    """md.solve_steady(polish=True): the monolithic Newton takes over
+    after the PTC march, the verdict upgrades to 'polished', and the
+    reported rate is the equation-level drift (orders below the PTC
+    certificate)."""
+    md, out_plain = slab_steady
+    out = md.solve_steady(tol=TOL, max_steps=1600, polish=True)
+    info = out["info"]
+    assert info["verdict"] == "polished"
+    assert info["polish_converged"]
+    assert info["rate"] < 1e-6 < out_plain["info"]["rate"]
+    assert out["Q_out"] == pytest.approx(out["Q_src"], rel=2e-2)
+
+
 def test_distributed_cycle_certificate_matches_single_device(slab_steady):
     """plan["cycle_run"] (shard_map'd cycle_certify, psum'd norms) must
     certify the converged steady state as a degenerate zero-amplitude
