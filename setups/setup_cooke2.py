@@ -142,6 +142,12 @@ def initialize(days=10 * 365, nt_per_day=24, results_name="auto", seed=0):
     rng = np.random.default_rng(seed)
     if os.environ.get("SHAKTI_REFERENCE_BINIT") == "1":
         md.b_init = 0.001 + rng.normal(scale=0.005, size=md.x.size)
+        # the exact draw is uncertifiable in f32 — bootstrap the violent
+        # equilibration in f64 on the host CPU (api/run._bootstrap_f64),
+        # mirroring the PETSc-LU robustness the reference leans on;
+        # default one day of hourly steps, env-overridable
+        md.bootstrap_steps = int(
+            os.environ.get("SHAKTI_BOOTSTRAP_STEPS", "24"))
     else:
         md.b_init = np.maximum(
             0.001 + rng.normal(scale=5e-4, size=md.x.size), 1e-5)

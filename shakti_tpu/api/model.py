@@ -79,6 +79,12 @@ class ModelSetup:
         # physical (it cannot exceed the ice column) and the run bounded.
         self.b_cap = None
 
+        # float64 cold-start bootstrap: march the first k steps in f64 on
+        # the host CPU before the f32 device loop (api/run._bootstrap_f64)
+        # — certifies cold starts too violent for f32 (the reference's
+        # unclamped noisy b draw, setup_cooke2.py:66).  0 = off.
+        self.bootstrap_steps = 0
+
         # lake outline: (k, 2) polygon array (NaN rows delimit multipolygons)
         self.outline = None
 

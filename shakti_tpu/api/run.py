@@ -88,6 +88,79 @@ def _group_windows(windows, nt_check: int, max_group: int):
         yield cur
 
 
+def _bootstrap_f64(md, timesteps, nt_save, k_steps):
+    """March the first ``k_steps`` (rounded up to a save boundary) in
+    FLOAT64 on the host CPU, regardless of the run's marching dtype.
+
+    Why: the reference's exact cold start (setup_cooke2.py:66,
+    b = 0.001 + N(0, 0.005) UNCLAMPED — 46% of nodes at b < 0, |b|^3
+    spanning ~10 decades cell to cell) is solvable by its direct PETSc
+    LU but NOT certifiable by an f32 iterative Newton-Krylov (measured:
+    the step-1 residual stalls at ~8e-3 of scale).  f64 powers through
+    (26 Newton / 12.8k CG on the flagship); once the violent
+    equilibration has smoothed the fields, f32 certifies the rest of
+    the horizon.  This is the in-run equivalent of the PETSc-LU
+    robustness the reference leans on (SHAKTI_REFERENCE_BINIT=1 sets
+    ``md.bootstrap_steps`` in setups/setup_cooke2.py).
+
+    Mechanics: temporarily enables x64 (before the main loop has
+    compiled anything, so no f32 jit cache is invalidated), freezes an
+    f64 twin of the model on the CPU backend, marches it with the same
+    run_window/save-window protocol, and returns the final state plus
+    the per-window (i0, wlen, flat_row, diag) data the caller replays
+    through its normal history bookkeeping.  Returns
+    (state64, windows, boot_end) — the caller casts state64 into its
+    own dtype/state structure and starts the main loop at boot_end.
+    """
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    k = int(k_steps)
+    nt = timesteps.size
+    if k % nt_save:
+        k += nt_save - (k % nt_save)
+    k = min(k, nt - 1)
+
+    x64_was = bool(jax.config.jax_enable_x64)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            old_dtype = md.dtype
+            md.dtype = jnp.float64
+            try:
+                mesh, static, state, cfg = md.freeze()
+            finally:
+                md.dtype = old_dtype
+            step_fn = make_step_fn(mesh, static, md.params, cfg)
+            runner = jax.jit(lambda s, d: run_window(step_fn, s, d))
+            forcing = make_forcing(
+                timesteps, dtype=jnp.float64,
+                seasonal=getattr(md, 'seasonal_inputs', None),
+                degree_day=getattr(md, 'degree_day', None))
+            wins = []
+            for i0, wlen, do_save in _save_windows(k + 1, nt_save, 0):
+                f_win = jax.tree_util.tree_map(
+                    lambda a: a[i0:i0 + wlen], forcing)
+                state, diags = runner(state, f_win)
+                dg = np.stack([
+                    np.asarray(diags["converged"], np.float64),
+                    np.asarray(diags["newton_iters"], np.float64),
+                    np.asarray(diags["cg_iters"], np.float64),
+                    np.asarray(diags["rnorm"], np.float64)])
+                flat = None
+                if do_save:
+                    q = np.asarray(state.q)
+                    flat = np.concatenate(
+                        [np.asarray(state.N), np.asarray(state.b),
+                         q[:, 0], q[:, 1]])
+                wins.append((i0, wlen, flat, dg))
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)
+    return state, wins, k + 1
+
+
 def solve(md, *, resume: bool = False, progress: bool = True):
     """Run the transient problem defined by a ModelSetup.
 
@@ -428,6 +501,30 @@ def solve(md, *, resume: bool = False, progress: bool = True):
             else:
                 flat = None
         return consume(i0, wlen, flat, dg, ck_state)
+
+    # ---- optional float64 cold-start bootstrap (md.bootstrap_steps) ----
+    # marches the first steps in f64 on the host CPU before the f32 device
+    # loop — the in-run equivalent of the reference's PETSc-LU robustness
+    # for its unclamped noisy IC (see _bootstrap_f64).  Single-process,
+    # single-device-path, fresh runs only (a resume already has a smooth
+    # state).
+    boot_steps = int(getattr(md, "bootstrap_steps", 0) or 0)
+    if (boot_steps > 0 and start_step == 0 and not dist_on and nproc == 1
+            and np.dtype(md.dtype) != np.float64):
+        s64, bwins, boot_end = _bootstrap_f64(md, timesteps, nt_save,
+                                              boot_steps)
+        cast = lambda a: _jnp.asarray(np.asarray(a), dtype=md.dtype)
+        state = _dc.replace(
+            state, N=cast(s64.N), b=cast(s64.b), q=cast(s64.q),
+            melt=cast(s64.melt),
+            N_prev=None if state.N_prev is None else cast(s64.N_prev))
+        for (i0, wlen, flat, dg) in bwins:
+            flat32 = None if flat is None else flat.astype(hist_dt)
+            consume(i0, wlen, flat32, dg, state)
+        start_step = boot_end
+        if progress and primary:
+            print(f"f64 bootstrap: steps 0..{boot_end - 1} marched on the "
+                  f"host CPU, continuing in {np.dtype(md.dtype).name}")
 
     windows = list(_save_windows(nt, nt_save, start_step))
     pending = None
