@@ -21,7 +21,7 @@ import numpy as np  # noqa: E402
 
 
 def main(nx: int = 1000, steps: int = 12, op: str = "auto",
-         lag: str = "0"):
+         lag: str = "0", pc: str = "two_level"):
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +45,9 @@ def main(nx: int = 1000, steps: int = 12, op: str = "auto",
     # this trades ~2x operator-values HBM for skipping the fold/PC build
     # on reuse steps.
     from shakti_tpu.solve.newton import NewtonConfig
-    md.solver = NewtonConfig(lag_operator=(str(lag) == "1"))
+    # pc: 'two_level' (default; the 1M single-chip record configuration)
+    # or 'mg' (the distributed multilevel V-cycle, VERDICT r3 item 7 A/B)
+    md.solver = NewtonConfig(lag_operator=(str(lag) == "1"), precond=pc)
     md.z_b = 0.002 * md.x - 100.0
     md.z_s = md.z_b + 1200.0 + 0.001 * (md.x - nx * h / 2)
     md.G = np.full(md.x.size, 0.06)
@@ -85,6 +87,7 @@ def main(nx: int = 1000, steps: int = 12, op: str = "auto",
         "newton_mean": round(float(np.asarray(diag["newton_iters"]).mean()), 2),
         "cg_mean": round(float(np.asarray(diag["cg_iters"]).mean()), 1),
         "lag_operator": md.solver.lag_operator,
+        "precond": pc,
     }
     print(json.dumps(out))
     return 0

@@ -284,15 +284,18 @@ def suite_S(out, quick, force=False):
             continue
         t0 = time.time()
         md = shmip.initialize(case, nx=60, ny=12, days=30, nt_per_day=24)
-        # strict=False + cycle_window: A3-A6 keep genuinely persistent
-        # channelization dynamics (the transient route's own window
-        # metrics still move at year 10-12, suite A), so the pointwise
-        # drift certificate cannot fire there — the cycle certificate
-        # (solve/steady.cycle_certify) upgrades those plateaus to a
-        # CONCLUSIVE verdict: the orbit centroid must stop moving, the
-        # output becomes the cycle-mean state, and the cycle amplitude
-        # is quantified.  verdict in {steady, cycle, no}.
+        # polish=True: the staggered PTC plateaus on channelized regimes
+        # (A3-A6: the staggered b<->N instability pins its pseudo-dt near
+        # 1e3 s while the slow modes relax over years), so the monolithic
+        # coupled Newton (solve/monolithic.py) takes over and solves the
+        # transient's own fixed-point equations directly — certifying the
+        # equilibrium from the EQUATIONS (measured A3: plateau 0.39/yr ->
+        # 3e-4/yr, and the reference-exact transient marched from the
+        # polished state moves ~1e-9 relative in 10 h).  cycle_window
+        # stays as the fallback verdict for any case the polish cannot
+        # close.  verdict in {polished, steady, cycle, no}.
         res = md.solve_steady(tol=tol, max_steps=max_steps, strict=False,
+                              polish=True, polish_max_newton=6000,
                               cycle_window=150 if quick else 400)
         p = steady_profile(case)
         x = md.x
@@ -304,6 +307,12 @@ def suite_S(out, quick, force=False):
         m = {"converged": bool(info["converged"]),
              "verdict": info.get("verdict",
                                  "steady" if info["converged"] else "no"),
+             "polish_newton": info.get("polish_newton"),
+             "polish_resN": info.get("polish_resN", float("nan")),
+             "wander_rate": info.get("wander_rate", float("nan")),
+             "wander_amp_N": info.get("wander_amp_N", float("nan")),
+             "wander_amp_b": info.get("wander_amp_b", float("nan")),
+             "t_march_yr": info.get("t_march_yr", float("nan")),
              "cycle_rate": info.get("cycle_rate", float("nan")),
              "cycle_amp_N": info.get("cycle_amp_N", float("nan")),
              "cycle_amp_b": info.get("cycle_amp_b", float("nan")),
@@ -464,16 +473,30 @@ def build_md(out):
             "reachable gap equilibrium there — the transient route has the",
             "identical linear margin drift; their residual drift is the",
             "`bdry` column).  Verdicts are CONCLUSIVE for every case:",
-            "`steady` means the pointwise drift certificate fired;",
-            "`cycle` means the regime keeps genuinely persistent",
-            "channelization dynamics (suite A's own year-over-year window",
-            "metrics still move at year 10-12) and the limit-cycle",
-            "certificate fired instead (`solve/steady.cycle_certify`: two",
-            "consecutive window means of the orbit agree to tol/yr, the",
-            "reported state is the CYCLE MEAN, `amp` columns give the",
-            "relative RMS cycle amplitude of N and b).  A2/A4/A6 have no",
-            "transient twin in suite A; their oracle window errors",
-            "complete 6/6 suite-A case coverage via the steady route.",
+            "`polished` means the monolithic coupled Newton",
+            "(`solve/monolithic.py`) solved the transient's own",
+            "fixed-point equations directly — the drift column is then",
+            "the EQUATION-level defect rate, and the reference-exact",
+            "transient marched from the state moves ~1e-9 relative in",
+            "10 h (the staggered PTC alone plateaus at 0.4-3.5/yr on the",
+            "channelized cases: its b<->N splitting instability pins the",
+            "pseudo-dt near 1e3 s; the implicit coupling grows it to",
+            "~1e9 s).  `steady` means the PTC drift certificate fired;",
+            "`cycle` means the limit-cycle certificate fired instead",
+            "(`solve/steady.cycle_certify`: two consecutive window means",
+            "of the orbit agree to tol/yr, the reported state is the",
+            "CYCLE MEAN, `amp` columns give the relative RMS cycle",
+            "amplitude).  `stationary` means no fixed point is reachable",
+            "but the monolithic march sampled enough pseudo-years to",
+            "certify the ATTRACTOR: channel-rearrangement events recur",
+            "(measured A3: the defect decays 0.39 -> 0.02/yr over ~25",
+            "pseudo-years, then 2-5x excursions), yet the trajectory",
+            "centroid is stationary to tol — the drift column is then the",
+            "half-trajectory centroid rate, the `amp` columns the RMS",
+            "wander around the time mean, and the reported state IS that",
+            "time mean.  A2/A4/A6 have no transient twin in suite A;",
+            "their oracle window errors complete 6/6 suite-A case",
+            "coverage via the steady route.",
             "",
             "| case | verdict | PTC steps | Newton | drift [/yr] "
             "| amp N | amp b "
@@ -488,15 +511,23 @@ def build_md(out):
             verdict = s.get("verdict",
                             "steady" if s["converged"] else "no")
             drift = (s["cycle_rate"] if verdict == "cycle"
+                     else s.get("wander_rate", float("nan"))
+                     if verdict == "stationary"
                      else s["drift_per_yr"])
+            ampN = (s.get("wander_amp_N", float("nan"))
+                    if verdict == "stationary"
+                    else s.get("cycle_amp_N", float("nan")))
+            ampb = (s.get("wander_amp_b", float("nan"))
+                    if verdict == "stationary"
+                    else s.get("cycle_amp_b", float("nan")))
             fmt_amp = (lambda v: f"{v:.2e}"
                        if np.isfinite(v) else "-")
             lines.append(
                 f"| {c} | {verdict} "
                 f"| {s['ptc_steps']} | {s['newton']} "
                 f"| {drift:.1e} "
-                f"| {fmt_amp(s.get('cycle_amp_N', float('nan')))} "
-                f"| {fmt_amp(s.get('cycle_amp_b', float('nan')))} "
+                f"| {fmt_amp(ampN)} "
+                f"| {fmt_amp(ampb)} "
                 f"| {s['relN_win']:.2e} "
                 f"| {s['relb_win']:.2e} | {s['Q_out']:.3f} "
                 f"| {s['Q_src']:.3f} | {s['imbalance']:.1e} "

@@ -118,6 +118,7 @@ def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
     info["converged"] = bool(dinfo["converged"])
 
     polished = False
+    stationary = False
     if polish and not dist:
         # monolithic coupled Newton (solve/monolithic.py): solve the
         # TRANSIENT'S OWN fixed-point equations directly from the PTC
@@ -134,7 +135,7 @@ def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
             st_in = _dc.replace(st_in, lag_op=None)
         p_state, pinfo = steady_polish(
             mesh, static, md.params, st_in, tol=tol, t_ref=t_ref,
-            armijo_cuts=13, max_newton=polish_max_newton)
+            armijo_cuts=13, max_newton_total=polish_max_newton)
         info["polish_rate_b"] = float(np.asarray(pinfo["rate_b"]))
         info["polish_resN"] = float(np.asarray(pinfo["resN_rel"]))
         info["polish_newton"] = int(pinfo["newton"])
@@ -144,9 +145,25 @@ def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
             state = p_state
             info["converged"] = True
             info["rate"] = info["polish_rate_b"]
+        elif "wander_rate" in pinfo:
+            # no reachable fixed point, but the implicit march sampled
+            # enough pseudo-years to judge the ATTRACTOR: if its centroid
+            # is stationary to tol, the regime is certified STATISTICALLY
+            # STATIONARY and the time-mean state is the output (the same
+            # semantics as the cycle certificate, on the implicit
+            # pseudo-time axis where channel rearrangements actually
+            # resolve — the transient-step cycle windows cannot span
+            # the years these dynamics need)
+            info["wander_rate"] = float(pinfo["wander_rate"])
+            info["wander_amp_b"] = float(pinfo["wander_amp_b"])
+            info["wander_amp_N"] = float(pinfo["wander_amp_N"])
+            info["t_march_yr"] = float(pinfo["t_march"]) / YEAR
+            if info["wander_rate"] < tol:
+                stationary = True
+                state = pinfo["mean_state"]
 
     certified_cycle = False
-    if not info["converged"] and cycle_window:
+    if not info["converged"] and not stationary and cycle_window:
         # limit-cycle certificate (solve/steady.cycle_certify): a plateau
         # regime gets a conclusive verdict — the orbit centroid must stop
         # moving — and the CYCLE-MEAN state becomes the output
@@ -172,6 +189,7 @@ def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
             state = mean_state
     info["verdict"] = ("polished" if polished
                        else "steady" if info["converged"]
+                       else "stationary" if stationary
                        else "cycle" if certified_cycle else "no")
     info["wall_s"] = round(time.time() - t0, 3)
 
