@@ -101,6 +101,21 @@ def _transmissivity(b, Re):
     return (bf ** 3) * G_GRAV / (12.0 * NU * (1.0 + OMEGA * Re))
 
 
+def _re_selfconsistent(b, gradmag):
+    """Pointwise self-consistent Reynolds closure: the flux law
+    q = -T(Re) grad h with Re = |q|/nu gives |q|(1 + omega |q|/nu) = K,
+    K = b^3 g |grad h|/(12 nu); stable positive root.  The naive lag
+    Re <- |q_step|/nu has gain > 1 through T (measured on the A3 march:
+    Re flipped 3e2 <-> 4e3 GLOBALLY every step, dt-independently,
+    pinning the step controller at its floor) — the same pathology the
+    framework closes with this identical quadratic root
+    (solve/monolithic.py)."""
+    bf = np.maximum(np.abs(b), B_FLOOR)
+    K = (bf ** 3) * G_GRAV * gradmag / (12.0 * NU)
+    q = (NU / (2.0 * OMEGA)) * (np.sqrt(1.0 + 4.0 * OMEGA * K / NU) - 1.0)
+    return q / NU
+
+
 def _solve_N(g: Grid, T, N_lin_coef, rhs_cells):
     """Exact linear elliptic solve for N given cell transmissivities T,
     a linearized-closure diagonal coefficient (A b |N_old|^2, units 1/s
@@ -531,15 +546,18 @@ def _solve_at_input(inp, nx, warburton, x0):
 
 def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
           dt_max=None, seed=0, noise=0.5, b0=0.01, warburton=True,
-          max_rel=0.1, save_every=None):
+          max_rel=0.1, save_every=None, verbose=0):
     """Semi-implicit pseudo-time march from a seeded-noise gap — the
     PHYSICAL dynamics, so channelized regimes channelize (on this grid,
     with this discretization, independently of the FEM).
 
-    b: backward-Euler in the (linear) closure term; melt, Re lagged.
-    N: exact linear elliptic solve per step (closure linearized at N_old).
-    dt adapts: grows 1.1x when the relative b change < max_rel/4, shrinks
-    2x when > max_rel.  Returns y-mean window profiles + the 2D fields.
+    b: per-cell exponential integrator on db/dt = (m/(rho_i b) - cr) b
+    with the bracket frozen over the step (unconditionally stable — the
+    explicit melt-opening feedback is stiff in collapsing cells); melt,
+    Re lagged.  N: exact linear elliptic solve per step (closure
+    linearized at N_old).  dt adapts on the LIVE-cell relative change:
+    grows 1.3x when < max_rel/4, rejects/halves when > max_rel.
+    Returns y-mean window profiles + the 2D fields.
     """
     g = Grid(nx, ny)
     rng = np.random.default_rng(seed)
@@ -554,32 +572,86 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
     t, T_end = 0.0, years * 3.1536e7
     steps = 0
     min_dt = 1.0
+    rejects = 0
+    # loose physical bound on effective pressure: overburden tops out
+    # near rho_i g H ~ 1.3e7 Pa on this topography; the clip engages only
+    # in the violent early equilibration where collapsed-gap columns
+    # (b at the 1e-8 clip -> T ~ 1e-19) make the elliptic solve nearly
+    # singular and N locally wild.  The N-solve is dt-INDEPENDENT, so
+    # step rejection cannot cure a wild solve — the clip (plus the
+    # relative conditioning floor on the closure coefficient) must.
+    N_CAP = 5e7
     while t < T_end and steps < 500000:
         T = _transmissivity(b, Re)
         c_m = 1.0 / RHO_W - 1.0 / RHO_I
         rhs = m * c_m - inp
         coef = np.maximum(A_GLEN * np.maximum(b, B_FLOOR)
                           * np.abs(N) ** (N_GLEN - 1.0), 1e-25)
-        # channelization stability cap (the melt-opening feedback
-        # m ~ b^3 at fixed head gradient is explicit): dt <= b rho_i/(3 m)
-        dt_stab = 0.5 * np.min(RHO_I * np.maximum(b, B_FLOOR)
-                               / np.maximum(3.0 * m, 1e-300))
-        dt_eff = min(dt, dt_stab)
-        N_new = _solve_N(g, T, coef, rhs)
-        h, qx, qy, qmag, diss = _fields_from_N(g, N_new, T)
-        m_new = _melt(g, diss, b, m, warburton)
-        cr = A_GLEN * np.abs(N_new) ** N_GLEN      # closure rate / b
-        b_new = (b + dt_eff * m_new / RHO_I) / (1.0 + dt_eff * cr)
-        b_new = np.clip(b_new, 1e-8, 1e3)
-        rel = np.max(np.abs(b_new - b) / np.maximum(b, 1e-8))
-        bad = not (np.all(np.isfinite(N_new)) and np.all(np.isfinite(b_new)))
-        if (bad or rel > max_rel) and dt_eff > min_dt:
+        coef = np.maximum(coef, 1e-14 * coef.max())
+        dt_eff = dt
+        with np.errstate(over="ignore", invalid="ignore"):
+            N_new = _solve_N(g, T, coef, rhs)
+            bad_N = not np.all(np.isfinite(N_new))
+            N_new = np.clip(np.nan_to_num(N_new, nan=0.0,
+                                          posinf=N_CAP, neginf=-N_CAP),
+                            -N_CAP, N_CAP)
+            h, qx, qy, qmag, diss = _fields_from_N(g, N_new, T)
+            m_new = _melt(g, diss, b, m, warburton)
+            # SIGNED closure rate (db/dt = m/rho_i - A b N|N|^2, Sommers
+            # eq. 2): under negative N creep OPENS the gap — unsigned
+            # |N|^3 here sealed collapsed cells permanently (measured:
+            # recharge into a collapsed cell drives N hard negative, and
+            # with closure misread as closing, b pinned at the clip and
+            # the dt controller at its floor)
+            cr = A_GLEN * N_new * np.abs(N_new) ** (N_GLEN - 1.0)
+            # per-cell exponential integrator on db/dt = g b with the
+            # growth rate g = m/(rho_i b) - cr frozen over the step:
+            # unconditionally stable and positive (the explicit
+            # melt-opening feedback m ~ b^3 is STIFF in collapsing hot
+            # cells — measured: it pinned the stability cap at ~30 s,
+            # making multi-year horizons unreachable; the FEM transient
+            # rides through the same stiffness fully implicitly).  The
+            # +-3 exponent clip bounds a fast cell to e^3 per step; such
+            # cells equilibrate within a few steps.
+            grow = m_new / (RHO_I * np.maximum(b, B_FLOOR)) - cr
+            b_new = b * np.exp(np.clip(dt_eff * grow, -3.0, 3.0))
+            b_new = np.clip(b_new, 1e-8, 1e3)
+        # step-size metric over LIVE cells only: collapsed cells at the
+        # 1e-8 clip bounce by orders of magnitude per step regardless of
+        # dt (measured: they pinned dt at ~1 s while dt_stab allowed
+        # ~400 s), exactly the pathology the framework's f32 sensitivity
+        # floor handles on the FEM side
+        live = b > 1e-6
+        rel = (float(np.max(np.abs(b_new[live] - b[live]) / b[live]))
+               if live.any() else 0.0)
+        bad = bad_N or not (np.all(np.isfinite(m_new))
+                            and np.all(np.isfinite(b_new)))
+        if bad or (rel > max_rel and dt_eff > min_dt):
+            rejects += 1
+            if verbose and rejects % 50 == 0:
+                print(f"  march {case}: {rejects} rejects at step {steps} "
+                      f"t={t / 3.1536e7:.3f} yr dt={dt_eff:.2e} bad={bad} "
+                      f"rel={rel:.2e}", flush=True)
+            if rejects > 400:
+                raise RuntimeError(
+                    f"march({case}): {rejects} consecutive rejected steps "
+                    f"at t={t / 3.1536e7:.3f} yr, dt={dt_eff:.3e}")
             dt = max(dt_eff / 2.0, min_dt)
+            if bad and dt_eff <= min_dt:
+                # a bad state at the dt floor cannot be stepped through:
+                # damp the gap toward uniform to exit the singular zone
+                b = np.clip(0.5 * (b + float(np.median(b))), 1e-8, 1e3)
+                Re = np.zeros_like(Re)
             continue                                # reject, retry smaller
+        rejects = 0
         N, b, m = N_new, b_new, m_new
-        Re = qmag / NU
+        gradmag = qmag / np.maximum(T, 1e-300)
+        Re = _re_selfconsistent(b, gradmag)
         t += dt_eff
         steps += 1
+        if verbose and steps % verbose == 0:
+            print(f"  march {case}: step {steps} t={t / 3.1536e7:.3f} yr "
+                  f"dt={dt_eff:.1f} rel={rel:.3f}", flush=True)
         if rel < max_rel / 4:
             dt = min(dt_eff * 1.3, dt_max)
     return {"x": g.x, "N": N.mean(axis=0), "b": b.mean(axis=0),

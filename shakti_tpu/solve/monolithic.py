@@ -769,6 +769,7 @@ def steady_polish(mesh, static, params: PhysicalParams, state0, *,
                   tol: float = 1e-3, t_ref: float = YEAR,
                   refreshes: int = 3, max_newton: int = 400,
                   max_newton_total: int = 6000, jit: bool = True,
+                  patience: int = 3, max_wall_s: float = float("inf"),
                   **polish_kw):
     """Outer driver: repeat :func:`polish` in SEGMENTS of ``max_newton``
     iterations, refreshing the frozen Warburton m_diff (and the nodal
@@ -789,6 +790,16 @@ def steady_polish(mesh, static, params: PhysicalParams, state0, *,
     Host-level loop (a handful of device calls); each segment is one
     jitted program.  Returns (state, info) — info adds segment count and
     the final inter-segment relative state change.
+
+    ``patience`` bounds consecutive non-improving segments (default 3).
+    Wandering attractors need far more: on SHMIP A3 the defect decayed to
+    0.017/yr by pseudo-year 25, then channel-rearrangement excursions
+    recurred at 0.06-0.35/yr for 21 consecutive segments before the march
+    exited the wandering phase and CONVERGED to a true fixed point at
+    pseudo-year ~1920 (rate 2.9e-7/yr) — measured, 35-segment march on
+    the 60x12 suite mesh.
+    ``max_wall_s`` bounds the total host wall clock (segment granularity);
+    the trajectory sampled so far still feeds the stationarity verdict.
     """
     run = lambda st: polish(mesh, static, params, st, tol=tol,
                             t_ref=t_ref, max_newton=max_newton,
@@ -807,13 +818,15 @@ def steady_polish(mesh, static, params: PhysicalParams, state0, *,
         run_cont = jax.jit(run_cont)
 
     import numpy as np
+    import time as _time
+    t_start = _time.time()
     state = state0
     newton = krylov = 0
     info = None
     dstate = float("inf")
     refreshed = 0
     best_rate = np.inf
-    patience = 0
+    stale = 0
     seg = 0
     dtau_carry = None
     # implicit-march trajectory samples (segment-end states + the pseudo-
@@ -843,23 +856,25 @@ def steady_polish(mesh, static, params: PhysicalParams, state0, *,
             if refreshed >= max(refreshes, 1) or dstate < 1e-10:
                 break
             best_rate = np.inf      # converged segment: refresh and verify
-            patience = 0
+            stale = 0
             continue
         # unconverged segment: restart while the drift keeps improving,
         # continuing the march at (half) the reached dtau — the halving
         # absorbs the m_diff refresh shock.  Transient bounces are normal
         # on long channelized marches (channel rearrangement events), so
-        # give up only after 3 consecutive segments with no improvement
-        # on the best rate seen (measured on A3: the rate decays
+        # give up only after ``patience`` consecutive segments with no
+        # improvement on the best rate seen (measured on A3: the rate decays
         # 0.39 -> 0.02/yr over ~14 pseudo-years with occasional 2-3x
         # upward excursions).
         if rate < 0.9 * best_rate:
             best_rate = rate
-            patience = 0
+            stale = 0
         else:
-            patience += 1
-            if patience >= 3:
+            stale += 1
+            if stale >= max(patience, 1):
                 break
+        if _time.time() - t_start > max_wall_s:
+            break
         d = float(np.asarray(info["dtau"]))
         dtau_carry = max(min(d, 1e30) * 0.5, 1.0) if np.isfinite(d) else None
     info = {k: np.asarray(v) for k, v in info.items()}
