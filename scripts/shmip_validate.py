@@ -302,7 +302,7 @@ S_POLISH_BUDGET = {
 S_ORDER = ("A1", "A2", "A3", "A6", "A4", "A5")
 
 
-def suite_S(out, quick, force=False):
+def suite_S(out, quick, force=False, cases=None, budget_override=None):
     """Suite S (steady-solver cross-check): solve A1/A3/A5 DIRECTLY with
     md.solve_steady (pseudo-transient continuation, solve/steady.py) and
     judge against the same independent 1D oracle the transients are judged
@@ -315,11 +315,19 @@ def suite_S(out, quick, force=False):
     suite-A case coverage.  Cached cases are skipped (use --force or
     delete their "S_<case>" keys from scripts/shmip_results.json to
     re-run); each entry records the tol/max_steps/quick fidelity it was
-    produced at, so a --quick refresh is distinguishable in the cache."""
+    produced at, so a --quick refresh is distinguishable in the cache.
+
+    ``cases`` restricts the run to a subset (CLI ``--cases A4,A5``);
+    ``budget_override`` replaces the S_POLISH_BUDGET tuple for those
+    runs (CLI ``--budget newton,patience,wall``) — for giving the
+    hardest channelized marches the long-patience treatment that
+    certified A3/A6 without re-running the whole suite."""
     print("== suite S: direct steady solves of A1-A6 ==", flush=True)
     tol = 1e-2 if quick else 1e-3
     max_steps = 6000 if quick else 30000
     for case in S_ORDER:
+        if cases is not None and case not in cases:
+            continue
         if "S_" + case in out and not force:
             print(f"S_{case}: cached, skipping (--force re-runs)",
                   flush=True)
@@ -336,7 +344,7 @@ def suite_S(out, quick, force=False):
         # polished state moves ~1e-9 relative in 10 h).  cycle_window
         # stays as the fallback verdict for any case the polish cannot
         # close.  verdict in {polished, steady, cycle, no}.
-        budget = S_POLISH_BUDGET[case]
+        budget = budget_override or S_POLISH_BUDGET[case]
         res = md.solve_steady(tol=tol, max_steps=max_steps, strict=False,
                               polish=True,
                               polish_max_newton=(6000 if quick
@@ -906,7 +914,8 @@ def build_md(out):
     return lines
 
 
-def main(quick=False, suites="ABCDEF", force=False):
+def main(quick=False, suites="ABCDEF", force=False, cases=None,
+         budget_override=None):
     out = {}
     if os.path.exists(CACHE):
         out = json.load(open(CACHE))
@@ -930,7 +939,8 @@ def main(quick=False, suites="ABCDEF", force=False):
     if "F" in suites:
         suite_F(out, quick)
     if "S" in suites:
-        suite_S(out, quick, force=force)
+        suite_S(out, quick, force=force, cases=cases,
+                budget_override=budget_override)
     if "O" in suites:
         suite_O(out, quick, force=force)
     # persist the (hours-of-compute) results cache BEFORE rendering the
@@ -946,9 +956,24 @@ if __name__ == "__main__":
     quick = "--quick" in sys.argv
     force = "--force" in sys.argv
     suites = "ABCDEF"
+    cases = budget_override = None
     for i, a in enumerate(sys.argv):
         if a == "--suites":
             suites = sys.argv[i + 1]
         elif a.startswith("--suites="):
             suites = a.split("=", 1)[1]
-    main(quick=quick, suites=suites, force=force)
+        elif a == "--cases":
+            cases = tuple(sys.argv[i + 1].split(","))
+        elif a.startswith("--cases="):
+            cases = tuple(a.split("=", 1)[1].split(","))
+        elif a == "--budget":
+            budget_override = tuple(
+                float(x) for x in sys.argv[i + 1].split(","))
+        elif a.startswith("--budget="):
+            budget_override = tuple(
+                float(x) for x in a.split("=", 1)[1].split(","))
+    if budget_override is not None:
+        budget_override = (int(budget_override[0]), int(budget_override[1]),
+                           float(budget_override[2]))
+    main(quick=quick, suites=suites, force=force, cases=cases,
+         budget_override=budget_override)

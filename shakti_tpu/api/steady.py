@@ -76,7 +76,15 @@ def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
     ``"polished"``, the returned fields are the equation-level
     equilibrium, and ``info["rate"]`` becomes the equation-level drift
     rate (``polish_*`` keys carry the solver stats).  On failure the
-    cycle/plateau logic proceeds unchanged.
+    cycle/plateau logic proceeds unchanged.  ``polish_max_newton`` /
+    ``polish_patience`` / ``polish_max_wall_s`` bound the segmented
+    march (total Newton iterations; consecutive non-improving segments —
+    wandering channelized attractors need ~25+ before exiting to a true
+    fixed point, measured on SHMIP A3; host wall seconds).  When no
+    fixed point is reached but the march sampled enough pseudo-time,
+    the ``"stationary"`` verdict certifies the attractor instead (the
+    returned fields are then the pseudo-time-weighted TIME MEAN, with
+    ``wander_rate``/``wander_amp_*`` in ``info``).
     """
     md.validate(require_timesteps=False)
     if dt0 is None:
