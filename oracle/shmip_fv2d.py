@@ -23,13 +23,18 @@ Two modes:
   the two agreeing (independent discretizations, independent solvers)
   anchors BOTH oracles' numerics.
 
-* ``march`` — semi-implicit pseudo-time integration (backward-Euler
-  closure, lagged melt/Re, SER-style adaptive pseudo-step) from a
-  seeded-noise initial gap.  This follows the PHYSICAL dynamics, so in
-  channelized regimes it develops the same sheet-channel instability the
-  FEM does, on an entirely different grid/discretization — its
-  y-averaged window profiles give the independent magnitude of the
-  channelization deviation from the y-uniform state.
+* ``march`` — pseudo-time integration from a seeded-noise initial gap:
+  exact linear elliptic N-solve per step, per-cell exponential
+  integrator for the gap ODE (the explicit melt-opening feedback is
+  stiff), self-consistent quadratic-root Re closure (the naive lag
+  flip-flops), adaptive dt on the live-cell relative change.  Follows
+  the physical dynamics on an entirely different grid/discretization;
+  at the FEM run's own 60x12 resolution it relaxes onto the y-UNIFORM
+  branch (measured A3: 10 yr, y-spread ~1e-15 from 50% seeded noise) —
+  the cell-centered FV + harmonic-mean-face scheme does not destabilize
+  laterally where the P1 FEM's nodal averaging does.  An informative
+  discretization-dependence data point in its own right; reported as
+  such in SHMIP.md.
 
 Discretization notes: face transmissivities are harmonic means (the
 standard FV choice for strongly varying coefficients — b^3 spans
@@ -573,14 +578,20 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
     steps = 0
     min_dt = 1.0
     rejects = 0
-    # loose physical bound on effective pressure: overburden tops out
-    # near rho_i g H ~ 1.3e7 Pa on this topography; the clip engages only
-    # in the violent early equilibration where collapsed-gap columns
-    # (b at the 1e-8 clip -> T ~ 1e-19) make the elliptic solve nearly
-    # singular and N locally wild.  The N-solve is dt-INDEPENDENT, so
-    # step rejection cannot cure a wild solve — the clip (plus the
-    # relative conditioning floor on the closure coefficient) must.
-    N_CAP = 5e7
+    # physical effective-pressure band, PER CELL: 0 <= p_w <= p_i gives
+    # N in [0, p_i] with p_i = rho_i g H the local overburden; allow a
+    # -p_i/4 artesian excursion (SHAKTI permits transient negative N).
+    # The clip engages only in degenerate zones (sealed columns make the
+    # linearized elliptic solve locally wild — a GLOBAL 5e7 cap let
+    # cells sit at closure rates ~0.3/s, collapse fronts that held the
+    # step controller at its floor forever; with the physical band the
+    # worst closure rate is A p_i^3 ~ 5e-3/s).  The N-solve is
+    # dt-INDEPENDENT, so step rejection cannot cure a wild solve — the
+    # clip (plus the relative conditioning floor on the closure
+    # coefficient) must.
+    N_hi = RHO_I * G_GRAV * g.zs
+    N_lo = -0.25 * N_hi
+    N_CAP = float(N_hi.max())
     while t < T_end and steps < 500000:
         T = _transmissivity(b, Re)
         c_m = 1.0 / RHO_W - 1.0 / RHO_I
@@ -594,7 +605,7 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
             bad_N = not np.all(np.isfinite(N_new))
             N_new = np.clip(np.nan_to_num(N_new, nan=0.0,
                                           posinf=N_CAP, neginf=-N_CAP),
-                            -N_CAP, N_CAP)
+                            N_lo, N_hi)
             h, qx, qy, qmag, diss = _fields_from_N(g, N_new, T)
             m_new = _melt(g, diss, b, m, warburton)
             # SIGNED closure rate (db/dt = m/rho_i - A b N|N|^2, Sommers
@@ -615,13 +626,17 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
             # cells equilibrate within a few steps.
             grow = m_new / (RHO_I * np.maximum(b, B_FLOOR)) - cr
             b_new = b * np.exp(np.clip(dt_eff * grow, -3.0, 3.0))
-            b_new = np.clip(b_new, 1e-8, 1e3)
-        # step-size metric over LIVE cells only: collapsed cells at the
-        # 1e-8 clip bounce by orders of magnitude per step regardless of
-        # dt (measured: they pinned dt at ~1 s while dt_stab allowed
-        # ~400 s), exactly the pathology the framework's f32 sensitivity
-        # floor handles on the FEM side
-        live = b > 1e-6
+            # gap floor = B_FLOOR (the framework's own b_min): T floors
+            # there anyway, so allowing b to seal 3 more decades (the old
+            # 1e-8 clip) only manufactured near-singular N solves (cells
+            # pinned at the N cap collapsing e^-0.3 per second forever —
+            # measured: a marching collapse front held the step
+            # controller at its 1 s floor indefinitely)
+            b_new = np.clip(b_new, B_FLOOR, 1e3)
+        # step-size metric over cells OFF the clip: clip-pinned cells
+        # bounce regardless of dt, exactly the pathology the framework's
+        # f32 sensitivity floor handles on the FEM side
+        live = b > 1.01 * B_FLOOR
         rel = (float(np.max(np.abs(b_new[live] - b[live]) / b[live]))
                if live.any() else 0.0)
         bad = bad_N or not (np.all(np.isfinite(m_new))
@@ -640,7 +655,7 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
             if bad and dt_eff <= min_dt:
                 # a bad state at the dt floor cannot be stepped through:
                 # damp the gap toward uniform to exit the singular zone
-                b = np.clip(0.5 * (b + float(np.median(b))), 1e-8, 1e3)
+                b = np.clip(0.5 * (b + float(np.median(b))), B_FLOOR, 1e3)
                 Re = np.zeros_like(Re)
             continue                                # reject, retry smaller
         rejects = 0

@@ -285,13 +285,17 @@ def _save_cache(out):
 # at pseudo-year 25, rearrangement excursions 0.06-0.35/yr until ~yr 46,
 # then convergence to 2.9e-7/yr at pseudo-year ~1920) so it needs the
 # long patience; A6's defect decays geometrically through 1.6e-3/yr at
-# 6000 iterations (certifies with budget); A4/A5 wander at ~0.2/yr with
-# no observed exit — they get a bounded march and the honest
-# `stationary` verdict.
+# 6000 iterations (certifies with budget).  A4/A5 under the short
+# (8000, 4, 2400) budget gave up after 2.9/11.7 pseudo-years of
+# wandering at ~0.2/yr with no exit — since A3 only exited its own
+# wandering phase past ~21 segments, they get the same long-patience
+# treatment: either they too exit to a fixed point, or the march
+# samples enough pseudo-years for the stationary-attractor
+# certificate (half-trajectory centroid drift) to resolve.
 S_POLISH_BUDGET = {
     "A1": (6000, 3, 1800.0), "A2": (6000, 3, 1800.0),
     "A3": (40000, 30, 7200.0),
-    "A4": (8000, 4, 2400.0), "A5": (8000, 4, 2400.0),
+    "A4": (40000, 30, 7200.0), "A5": (40000, 30, 7200.0),
     "A6": (16000, 10, 3600.0),
 }
 
@@ -442,15 +446,17 @@ def suite_O(out, quick, force=False):
         out["O_ladder"] = {"nx": nx, "rows": rows,
                            "wall_s": round(time.time() - t0, 1)}
         _save_cache(out)
-    march_years = 2.0 if quick else 10.0
-    for case in ("A3", "A5"):
+    # march leg on the FEM run's own resolution (60x12 over the same
+    # 100x20 km domain) and horizon, so the FV channelization deviation
+    # bounds the FEM's at matched discretization scale
+    for case, years in (("A3", 10.0), ("A5", 12.0)):
         key = "O_march_" + case
         if key in out and not force:
             continue
         t0 = time.time()
-        m = fv2d.march(case, nx=100, ny=20, years=march_years,
-                       seed=0)
-        u = fv2d.steady_column_newton(case, nx=100)
+        m = fv2d.march(case, nx=60, ny=12,
+                       years=2.0 if quick else years, seed=0)
+        u = fv2d.steady_column_newton(case, nx=60)
         win = (m["x"] > WINDOW[0]) & (m["x"] < WINDOW[1])
         Nu = np.interp(m["x"], u["x"], u["N"])
         bu = np.interp(m["x"], u["x"], u["b"])
@@ -709,14 +715,28 @@ def build_md(out):
         if any("O_march_" + c in out for c in ("A3", "A5")):
             lines += [
                 "",
-                "Channelized leg — the FV 2D pseudo-time march develops",
-                "the sheet-channel instability on ITS OWN grid; its",
-                "window deviation from the y-uniform state independently",
-                "bounds the framework's suite-A window deviation (same",
-                "seeded-noise protocol).  The FEM and FV deviations",
-                "agreeing in magnitude demonstrates the suite-A error",
-                "columns measure the channelization physics, not a",
-                "framework artifact:",
+                "March leg — the FV 2D pseudo-time march integrates the",
+                "PHYSICAL dynamics from the same 50%-seeded-noise gap",
+                "protocol as the FEM transients, on the FEM run's own",
+                "60x12 resolution.  Measured result: the FV march RELAXES",
+                "onto the y-uniform branch (y-spread ~1e-15 Pa from 50%",
+                "noise) and matches its own column-Newton steady state —",
+                "the cell-centered harmonic-mean-face scheme does not",
+                "destabilize laterally at this resolution where the P1",
+                "FEM's nodal melt averaging does.  Two readings: (a) the",
+                "y-uniform branch the 1D oracle represents IS a genuine",
+                "attractor of these equations under an independent",
+                "discretization, so the suite-A window deviations measure",
+                "the FEM's lateral self-organization relative to it, not",
+                "a solver error (both states conserve mass to ~1e-4);",
+                "(b) channelization ONSET at 60x12 is",
+                "discretization-dependent — SHMIP itself reports the",
+                "participating models splitting exactly this way on the",
+                "high-input cases (sheet-only models stay smooth, models",
+                "with channel physics or grid-scale instability",
+                "channelize).  Columns: the FV march's own window",
+                "deviation from its uniform steady state, and the FEM's",
+                "suite-A deviation for comparison:",
                 "",
                 "| case | FV years | FV relN vs uniform | "
                 "FV relb vs uniform | FV y-spread N [MPa] | "
