@@ -23,18 +23,21 @@ Two modes:
   the two agreeing (independent discretizations, independent solvers)
   anchors BOTH oracles' numerics.
 
-* ``march`` — pseudo-time integration from a seeded-noise initial gap:
-  exact linear elliptic N-solve per step, per-cell exponential
-  integrator for the gap ODE (the explicit melt-opening feedback is
-  stiff), self-consistent quadratic-root Re closure (the naive lag
-  flip-flops), adaptive dt on the live-cell relative change.  Follows
-  the physical dynamics on an entirely different grid/discretization;
-  at the FEM run's own 60x12 resolution it relaxes onto the y-UNIFORM
-  branch (measured A3: 10 yr, y-spread ~1e-15 from 50% seeded noise) —
-  the cell-centered FV + harmonic-mean-face scheme does not destabilize
-  laterally where the P1 FEM's nodal averaging does.  An informative
-  discretization-dependence data point in its own right; reported as
-  such in SHMIP.md.
+* ``march`` — pseudo-time integration of the physical gap dynamics:
+  per step, `_quasi_static_N` converges the instantaneous head system
+  (N, Re, melt) by a damped fixed point (the head equation is
+  quasi-static in SHAKTI — lagging it across steps bounced
+  dt-independently), then a per-cell exponential integrator advances
+  the gap ODE (the explicit melt-opening feedback is stiff); adaptive
+  dt on the live-cell relative change.  History note: this module
+  originally carried a recharge SIGN bug in the elliptic rhs
+  (`- inp` — recharge acted as drainage), which drove every march into
+  a sealed degenerate basin (b at the floor, N at overburden) and
+  spawned a family of symptom-level hardening patches; the fixed
+  equations are validated by `_quasi_static_N` reproducing the
+  column-Newton steady state at the uniform branch (A5 60x12: 6%
+  relL2, the O(h) gap between the two flux discretizations).
+  Measured march results live in SHMIP.md suite O.
 
 Discretization notes: face transmissivities are harmonic means (the
 standard FV choice for strongly varying coefficients — b^3 spans
@@ -258,11 +261,10 @@ def _melt_quartic(qmag, N, mdiff=0.0):
 def steady_uniform(case: str, nx=100, ny=1, theta=0.25, max_iters=4000,
                    tol=1e-11, b0=0.01, warburton=True):
     """Damped fixed point for the y-uniform steady state (ny = 1: a
-    single row of cells — the y-uniform equilibrium is linearly UNSTABLE
-    to channelization, so a 2D iteration that follows the physics
-    amplifies roundoff into y-breakup (measured: yspread -> 1e10); the
-    y-collapsed FV column is the stable way to compute it, and is still a
-    fully independent check of the 1D shooting oracle: FV + exact local
+    single row of cells — on channelized cases the y-uniform equilibrium
+    can be unstable to y-breakup, so the y-collapsed FV column is the
+    robust way to compute the uniform BRANCH, and is still a fully
+    independent check of the 1D shooting oracle: FV + exact local
     melt quartic + direct sparse solves vs an LSODA shooting BVP).
 
     Each iteration solves the elliptic N equation EXACTLY for the lagged
@@ -285,7 +287,15 @@ def steady_uniform(case: str, nx=100, ny=1, theta=0.25, max_iters=4000,
     for k in range(max_iters):
         T = _transmissivity(b, Re)
         c_m = 1.0 / RHO_W - 1.0 / RHO_I
-        rhs = m * c_m - inp                    # closure moves to LHS diag
+        # sources of the head equation div q = m c_m + C + inp (the same
+        # convention _column_residual validates against the 1D oracle);
+        # the linearized closure C = coef * N moves to the LHS diagonal.
+        # Recharge is a SOURCE: rhs = m c_m + inp.  (A `- inp` sign bug
+        # here made recharge act as drainage — every cell drained toward
+        # the sealed b-floor/N-cap state; the entire family of march
+        # pathologies (collapse fronts, dt-floor pinning, N caps) were
+        # downstream symptoms.)
+        rhs = m * c_m + inp
         coef = np.maximum(A_GLEN * np.maximum(b, B_FLOOR)
                           * np.abs(N) ** (N_GLEN - 1.0), 1e-25)
         N_new = _solve_N(g, T, coef, rhs)
@@ -549,26 +559,82 @@ def _solve_at_input(inp, nx, warburton, x0):
         del CASES_A[key]
 
 
+def _quasi_static_N(g: Grid, b, m_w, inp, N, Re, N_lo, N_hi,
+                    max_inner=40, tol=1e-7, theta=0.6):
+    """Solve the quasi-static head system self-consistently at frozen
+    gap b and frozen Warburton correction m_w: the head equation has no
+    time derivative in SHAKTI, so N, Re, and the dissipation melt must
+    close TOGETHER at every instant — T depends on Re, Re on the fluxes
+    from N, melt on the dissipation, and the rhs on melt.  Damped fixed
+    point (theta on N and Re), closure linearized at the current iterate
+    so the converged N satisfies the exact signed nonlinear closure
+    C = A b N |N|^2.  (The old march lagged Re/m/coef ACROSS steps; the
+    accepted N then bounced dt-independently — rejection cannot cure a
+    wild quasi-static solve.)  Returns (N, Re, m, fields...) or None if
+    the elliptic solve went non-finite."""
+    c_m = 1.0 / RHO_W - 1.0 / RHO_I
+    m = np.broadcast_to(G_FLUX / LH + np.asarray(m_w),
+                        (g.ny, g.nx)).astype(float)
+    out = None
+    for it in range(max_inner):
+        T = _transmissivity(b, Re)
+        coef = np.maximum(A_GLEN * np.maximum(b, B_FLOOR)
+                          * np.abs(N) ** (N_GLEN - 1.0), 1e-25)
+        coef = np.maximum(coef, 1e-14 * coef.max())
+        rhs = m * c_m + inp
+        with np.errstate(over="ignore", invalid="ignore"):
+            N_new = _solve_N(g, T, coef, rhs)
+        if not np.all(np.isfinite(N_new)):
+            return None
+        N_new = np.clip(N_new, N_lo, N_hi)
+        N_new = theta * N_new + (1.0 - theta) * N
+        h, qx, qy, qmag, diss = _fields_from_N(g, N_new, T)
+        gradmag = qmag / np.maximum(T, 1e-300)
+        Re_new = theta * _re_selfconsistent(b, gradmag) + (1 - theta) * Re
+        m = (G_FLUX + diss) / LH + m_w
+        dN = float(np.max(np.abs(N_new - N))) / max(
+            float(np.max(np.abs(N_new))), 1.0)
+        dRe = float(np.max(np.abs(Re_new - Re))) / max(
+            float(np.max(Re_new)), 1.0)
+        N, Re = N_new, Re_new
+        out = (N, Re, m, qx, qy, qmag)
+        if dN < tol and dRe < tol:
+            break
+    return out
+
+
 def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
           dt_max=None, seed=0, noise=0.5, b0=0.01, warburton=True,
-          max_rel=0.1, save_every=None, verbose=0):
-    """Semi-implicit pseudo-time march from a seeded-noise gap — the
-    PHYSICAL dynamics, so channelized regimes channelize (on this grid,
-    with this discretization, independently of the FEM).
+          max_rel=0.1, save_every=None, verbose=0,
+          b_init=None, N_init=None):
+    """Pseudo-time march of the PHYSICAL gap dynamics — channelized
+    regimes channelize (on this grid, with this discretization,
+    independently of the FEM).
 
-    b: per-cell exponential integrator on db/dt = (m/(rho_i b) - cr) b
-    with the bracket frozen over the step (unconditionally stable — the
-    explicit melt-opening feedback is stiff in collapsing cells); melt,
-    Re lagged.  N: exact linear elliptic solve per step (closure
-    linearized at N_old).  dt adapts on the LIVE-cell relative change:
-    grows 1.3x when < max_rel/4, rejects/halves when > max_rel.
-    Returns y-mean window profiles + the 2D fields.
+    Each step: (1) `_quasi_static_N` closes the instantaneous head
+    system (N, Re, melt) exactly at the current gap — the head equation
+    is quasi-static in SHAKTI, so it must be CONVERGED per step, not
+    lagged (lagged variants bounced dt-independently and collapsed into
+    the sealed basin); (2) b advances by a per-cell exponential
+    integrator on db/dt = (m/(rho_i b) - cr) b with the bracket frozen
+    over the step (unconditionally stable — the explicit melt-opening
+    feedback is stiff in collapsing cells).  dt adapts on the LIVE-cell
+    relative change: grows 1.3x when < max_rel/4, rejects/halves when
+    > max_rel.  Returns y-mean window profiles + the 2D fields.
     """
     g = Grid(nx, ny)
     rng = np.random.default_rng(seed)
     inp = CASES_A[case]
-    N = 0.5 * RHO_I * G_GRAV * g.zs
-    b = b0 * np.exp(noise * rng.standard_normal((ny, nx)))
+    N = (np.array(N_init, dtype=float, copy=True) if N_init is not None
+         else 0.5 * RHO_I * G_GRAV * g.zs)
+    if N.ndim == 1:
+        N = np.tile(N, (ny, 1))
+    b = (np.array(b_init, dtype=float, copy=True) if b_init is not None
+         else b0 * np.exp(noise * rng.standard_normal((ny, nx))))
+    if b.ndim == 1:
+        b = np.tile(b, (ny, 1))
+    if noise and b_init is not None:
+        b = b * np.exp(noise * rng.standard_normal((ny, nx)))
     Re = np.zeros((ny, nx))
     m = np.full((ny, nx), G_FLUX / LH)
     dt = dt0
@@ -591,56 +657,41 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
     # coefficient) must.
     N_hi = RHO_I * G_GRAV * g.zs
     N_lo = -0.25 * N_hi
-    N_CAP = float(N_hi.max())
+    qmag = np.zeros((ny, nx))
     while t < T_end and steps < 500000:
-        T = _transmissivity(b, Re)
-        c_m = 1.0 / RHO_W - 1.0 / RHO_I
-        rhs = m * c_m - inp
-        coef = np.maximum(A_GLEN * np.maximum(b, B_FLOOR)
-                          * np.abs(N) ** (N_GLEN - 1.0), 1e-25)
-        coef = np.maximum(coef, 1e-14 * coef.max())
+        # Warburton correction frozen over the step (a small diffusive
+        # term of the previous step's melt field)
+        m_w = _warburton(g, b, m) if warburton else 0.0
+        qs = _quasi_static_N(g, b, m_w, inp, N, Re, N_lo, N_hi)
+        if qs is None:
+            rejects += 1
+            if rejects > 40:
+                raise RuntimeError(
+                    f"march({case}): quasi-static solve non-finite at "
+                    f"t={t / 3.1536e7:.3f} yr")
+            # non-finite elliptic solve: re-seed Re from scratch
+            Re = np.zeros_like(Re)
+            continue
+        N_new, Re_new, m_new, qx, qy, qmag = qs
         dt_eff = dt
+        # SIGNED closure rate (db/dt = m/rho_i - A b N|N|^2, Sommers
+        # eq. 2): under negative N (artesian, recharge into a collapsed
+        # cell) creep OPENS the gap and reopens it
+        cr = A_GLEN * N_new * np.abs(N_new) ** (N_GLEN - 1.0)
+        # per-cell exponential integrator on db/dt = g b with the
+        # growth rate g = m/(rho_i b) - cr frozen over the step:
+        # unconditionally stable and positive (the explicit
+        # melt-opening feedback m ~ b^3 is STIFF in collapsing hot
+        # cells).  The +-3 exponent clip bounds a fast cell to e^3 per
+        # step; such cells equilibrate within a few steps.
         with np.errstate(over="ignore", invalid="ignore"):
-            N_new = _solve_N(g, T, coef, rhs)
-            bad_N = not np.all(np.isfinite(N_new))
-            N_new = np.clip(np.nan_to_num(N_new, nan=0.0,
-                                          posinf=N_CAP, neginf=-N_CAP),
-                            N_lo, N_hi)
-            h, qx, qy, qmag, diss = _fields_from_N(g, N_new, T)
-            m_new = _melt(g, diss, b, m, warburton)
-            # SIGNED closure rate (db/dt = m/rho_i - A b N|N|^2, Sommers
-            # eq. 2): under negative N creep OPENS the gap — unsigned
-            # |N|^3 here sealed collapsed cells permanently (measured:
-            # recharge into a collapsed cell drives N hard negative, and
-            # with closure misread as closing, b pinned at the clip and
-            # the dt controller at its floor)
-            cr = A_GLEN * N_new * np.abs(N_new) ** (N_GLEN - 1.0)
-            # per-cell exponential integrator on db/dt = g b with the
-            # growth rate g = m/(rho_i b) - cr frozen over the step:
-            # unconditionally stable and positive (the explicit
-            # melt-opening feedback m ~ b^3 is STIFF in collapsing hot
-            # cells — measured: it pinned the stability cap at ~30 s,
-            # making multi-year horizons unreachable; the FEM transient
-            # rides through the same stiffness fully implicitly).  The
-            # +-3 exponent clip bounds a fast cell to e^3 per step; such
-            # cells equilibrate within a few steps.
             grow = m_new / (RHO_I * np.maximum(b, B_FLOOR)) - cr
             b_new = b * np.exp(np.clip(dt_eff * grow, -3.0, 3.0))
-            # gap floor = B_FLOOR (the framework's own b_min): T floors
-            # there anyway, so allowing b to seal 3 more decades (the old
-            # 1e-8 clip) only manufactured near-singular N solves (cells
-            # pinned at the N cap collapsing e^-0.3 per second forever —
-            # measured: a marching collapse front held the step
-            # controller at its 1 s floor indefinitely)
             b_new = np.clip(b_new, B_FLOOR, 1e3)
-        # step-size metric over cells OFF the clip: clip-pinned cells
-        # bounce regardless of dt, exactly the pathology the framework's
-        # f32 sensitivity floor handles on the FEM side
         live = b > 1.01 * B_FLOOR
         rel = (float(np.max(np.abs(b_new[live] - b[live]) / b[live]))
                if live.any() else 0.0)
-        bad = bad_N or not (np.all(np.isfinite(m_new))
-                            and np.all(np.isfinite(b_new)))
+        bad = not np.all(np.isfinite(b_new))
         if bad or (rel > max_rel and dt_eff > min_dt):
             rejects += 1
             if verbose and rejects % 50 == 0:
@@ -651,27 +702,31 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
                 raise RuntimeError(
                     f"march({case}): {rejects} consecutive rejected steps "
                     f"at t={t / 3.1536e7:.3f} yr, dt={dt_eff:.3e}")
+            # keep the converged quasi-static (N, Re) as the next guess
+            N, Re = N_new, Re_new
             dt = max(dt_eff / 2.0, min_dt)
-            if bad and dt_eff <= min_dt:
-                # a bad state at the dt floor cannot be stepped through:
-                # damp the gap toward uniform to exit the singular zone
-                b = np.clip(0.5 * (b + float(np.median(b))), B_FLOOR, 1e3)
-                Re = np.zeros_like(Re)
             continue                                # reject, retry smaller
         rejects = 0
-        N, b, m = N_new, b_new, m_new
-        gradmag = qmag / np.maximum(T, 1e-300)
-        Re = _re_selfconsistent(b, gradmag)
+        N, Re, b, m = N_new, Re_new, b_new, m_new
         t += dt_eff
         steps += 1
         if verbose and steps % verbose == 0:
             print(f"  march {case}: step {steps} t={t / 3.1536e7:.3f} yr "
-                  f"dt={dt_eff:.1f} rel={rel:.3f}", flush=True)
-        if rel < max_rel / 4:
+                  f"dt={dt_eff:.1f} rel={rel:.3f} "
+                  f"yspreadN={float(np.max(N.std(axis=0))):.3e} "
+                  f"floor={float((b <= 1.01 * B_FLOOR).mean()):.2f}",
+                  flush=True)
+        # proportional controller targeting rel ~ max_rel/2 (grow-until-
+        # reject wasted ~1/4 of the inner solves on rejected steps)
+        if rel > 0:
+            dt = min(max(dt_eff * min(1.3, max(0.5, 0.5 * max_rel / rel)),
+                         min_dt), dt_max)
+        else:
             dt = min(dt_eff * 1.3, dt_max)
     return {"x": g.x, "N": N.mean(axis=0), "b": b.mean(axis=0),
             "N2d": N, "b2d": b, "q2d": qmag,
             "yspread_N": float(np.max(N.std(axis=0))),
+            "frac_b_floor": float((b <= 1.01 * B_FLOOR).mean()),
             "steps": steps, "t_years": t / 3.1536e7, "dt_final": dt}
 
 

@@ -266,12 +266,48 @@ def suite_A(out, quick):
     return A5
 
 
+class _Cache(dict):
+    """Results cache that records which keys THIS process wrote, so a
+    save can merge onto the on-disk state instead of clobbering it —
+    suite S/O cases run for hours and it is easy (and useful) to have
+    two invocations covering different cases in flight; a whole-dict
+    rewrite from either one silently destroyed the other's finished
+    cases (and resurrected keys deleted on disk meanwhile)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self._dirty = set()
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        self._dirty.add(key)
+
+
 def _save_cache(out):
     """Persist the results cache AND re-render SHMIP.md NOW (suites S/O
     run for hours per case; an interrupted run must not lose completed
-    cases, and the artifact should reflect them immediately)."""
+    cases, and the artifact should reflect them immediately).  Only the
+    keys this process wrote are overlaid on the on-disk state; all other
+    keys are adopted FROM disk (concurrent-invocation safety)."""
+    dirty = getattr(out, "_dirty", None)
+    if dirty is not None and os.path.exists(CACHE):
+        try:
+            with open(CACHE) as f:
+                disk = json.load(f)
+        except Exception:                       # pragma: no cover
+            disk = {}
+        merged = dict(disk)
+        merged.update({k: out[k] for k in dirty if k in out})
+        # sync the in-memory view to the merged state (including keys
+        # another process deleted on disk) without marking it dirty
+        for k in list(out.keys()):
+            if k not in merged:
+                dict.__delitem__(out, k)
+        for k, v in merged.items():
+            if k not in dirty:
+                dict.__setitem__(out, k, v)
     with open(CACHE, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(dict(out), f, indent=1)
     try:
         with open(os.path.join(ROOT, "SHMIP.md"), "w") as f:
             f.write("\n".join(build_md(out)) + "\n")
@@ -446,32 +482,70 @@ def suite_O(out, quick, force=False):
         out["O_ladder"] = {"nx": nx, "rows": rows,
                            "wall_s": round(time.time() - t0, 1)}
         _save_cache(out)
-    # march leg on the FEM run's own resolution (60x12 over the same
-    # 100x20 km domain) and horizon, so the FV channelization deviation
-    # bounds the FEM's at matched discretization scale
-    for case, years in (("A3", 10.0), ("A5", 12.0)):
-        key = "O_march_" + case
-        if key in out and not force:
-            continue
-        t0 = time.time()
-        m = fv2d.march(case, nx=60, ny=12,
-                       years=2.0 if quick else years, seed=0)
-        u = fv2d.steady_column_newton(case, nx=60)
+    # march legs on the FEM run's own resolution (60x12 over the same
+    # 100x20 km domain), A3/A5 only — the channelized cases whose
+    # column-Newton uniform baseline is clean at this resolution (the
+    # low-input cases A1/A2 need finer grids: their near-floor gap makes
+    # the coarse coupled Newton oscillatory).  Two legs per case:
+    #
+    # * STABILITY leg (O_stab_*): perturb the uniform branch by 10% gap
+    #   noise and integrate 2 yr — does the independent FV dynamics
+    #   KEEP the y-uniform state (FEM channelization would then be a
+    #   discretization artifact) or grow y-structure (channelization
+    #   onset confirmed independent of the FEM discretization)?
+    # * PROTOCOL leg (O_march_*): the FEM transient's own cold-noise IC
+    #   (b = 0.01, 50% log-noise, N = overburden/2) over the full
+    #   suite-A horizon — the FV march's window deviation from the
+    #   uniform branch is the independent same-axis bound for the FEM's
+    #   suite-A relN_win/relb_win (both measured against the uniform
+    #   steady profile).
+    def _march_metrics(m, u):
         win = (m["x"] > WINDOW[0]) & (m["x"] < WINDOW[1])
         Nu = np.interp(m["x"], u["x"], u["N"])
         bu = np.interp(m["x"], u["x"], u["b"])
-        out[key] = {
+        return {
             "years": m["t_years"], "steps": m["steps"],
             "yspread_N": float(m["yspread_N"]),
+            "frac_b_floor": float(m["frac_b_floor"]),
             "relN_march_uniform": float(
                 np.linalg.norm(m["N"][win] - Nu[win])
                 / np.linalg.norm(Nu[win])),
             "relb_march_uniform": float(
                 np.linalg.norm(m["b"][win] - bu[win])
                 / np.linalg.norm(bu[win])),
-            "wall_s": round(time.time() - t0, 1)}
-        _save_cache(out)
-        print(f"{key}: {json.dumps(out[key])}", flush=True)
+        }
+
+    # horizons: the channelized attractor's statistics saturate fast
+    # (measured A5: y-spread plateaus at ~1.1-1.3 MPa by t=0.4 yr), and
+    # the explicit march pays ~dt=500 s through the channelized state's
+    # fast internal dynamics — the FEM's 10-12 yr horizon would be
+    # ~15 h/case here for no extra information; 3 yr ~ 6 plateau
+    # e-foldings of margin
+    for case, years in (("A3", 3.0), ("A5", 3.0)):
+        need = [k for k in ("O_stab_" + case, "O_march_" + case)
+                if k not in out or force]
+        if not need:
+            continue
+        u = fv2d.steady_column_newton(case, nx=60)
+        assert u["converged"], (case, "uniform baseline did not converge")
+        if "O_stab_" + case in need:
+            t0 = time.time()
+            m = fv2d.march(case, nx=60, ny=12, years=1.0 if quick else 2.0,
+                           noise=0.10, b_init=u["b"], N_init=u["N"], seed=0)
+            out["O_stab_" + case] = dict(_march_metrics(m, u),
+                                         wall_s=round(time.time() - t0, 1))
+            _save_cache(out)
+            print(f"O_stab_{case}: {json.dumps(out['O_stab_' + case])}",
+                  flush=True)
+        if "O_march_" + case in need:
+            t0 = time.time()
+            m = fv2d.march(case, nx=60, ny=12,
+                           years=2.0 if quick else years, seed=0)
+            out["O_march_" + case] = dict(_march_metrics(m, u),
+                                          wall_s=round(time.time() - t0, 1))
+            _save_cache(out)
+            print(f"O_march_{case}: {json.dumps(out['O_march_' + case])}",
+                  flush=True)
 
 
 def suite_B(out, quick, A5):
@@ -712,51 +786,80 @@ def build_md(out):
                 f"| {c} | {'yes' if r['converged'] else 'no'} "
                 f"| {r['newton']} | {r['relN_fv_1d']:.2e} "
                 f"| {r['relb_fv_1d']:.2e} |")
-        if any("O_march_" + c in out for c in ("A3", "A5")):
+        if any("O_stab_" + c in out or "O_march_" + c in out
+               for c in ("A3", "A5")):
             lines += [
                 "",
-                "March leg — the FV 2D pseudo-time march integrates the",
-                "PHYSICAL dynamics from the same 50%-seeded-noise gap",
-                "protocol as the FEM transients, on the FEM run's own",
-                "60x12 resolution.  Measured result: the FV march RELAXES",
-                "onto the y-uniform branch (y-spread ~1e-15 Pa from 50%",
-                "noise) and matches its own column-Newton steady state —",
-                "the cell-centered harmonic-mean-face scheme does not",
-                "destabilize laterally at this resolution where the P1",
-                "FEM's nodal melt averaging does.  Two readings: (a) the",
-                "y-uniform branch the 1D oracle represents IS a genuine",
-                "attractor of these equations under an independent",
-                "discretization, so the suite-A window deviations measure",
-                "the FEM's lateral self-organization relative to it, not",
-                "a solver error (both states conserve mass to ~1e-4);",
-                "(b) channelization ONSET at 60x12 is",
-                "discretization-dependent — SHMIP itself reports the",
-                "participating models splitting exactly this way on the",
-                "high-input cases (sheet-only models stay smooth, models",
-                "with channel physics or grid-scale instability",
-                "channelize).  Columns: the FV march's own window",
-                "deviation from its uniform steady state, and the FEM's",
-                "suite-A deviation for comparison:",
+                "March legs — the FV 2D pseudo-time march integrates the",
+                "PHYSICAL gap dynamics (quasi-static head system converged",
+                "per step) on the FEM run's own 60x12 resolution, for the",
+                "two channelized cases whose uniform baseline is clean at",
+                "this resolution.  The STABILITY leg starts at the",
+                "column-Newton uniform steady state + 10% gap noise: if",
+                "the y-uniform branch were dynamically stable under this",
+                "independent discretization, the FEM's channelized",
+                "deviations would be suspect as discretization artifacts.",
+                "The PROTOCOL leg starts from the FEM transient's own",
+                "cold-noise IC (3 yr — the channelized statistics",
+                "saturate within ~0.5 yr, and the explicit march pays",
+                "dt~500 s through the channelized state's fast internal",
+                "dynamics, so the FEM's 10-12 yr horizon buys nothing",
+                "here): its",
+                "window deviation from the uniform branch is the",
+                "independent same-axis bound for the FEM's suite-A",
+                "relN_win/relb_win (both measured against the y-uniform",
+                "steady profile).  (r4 fix: the original march carried a",
+                "recharge-sign bug — recharge acted as drainage, so every",
+                "march collapsed into a sealed degenerate basin and the",
+                "first rendering of this leg was wrong; the fixed",
+                "equations reproduce the column-Newton steady state at",
+                "the uniform branch to the O(h) gap between the two flux",
+                "discretizations.)",
                 "",
-                "| case | FV years | FV relN vs uniform | "
-                "FV relb vs uniform | FV y-spread N [MPa] | "
+                "| case | leg | years | relN vs uniform | "
+                "relb vs uniform | y-spread N [MPa] | b at floor | "
                 "FEM relN (suite A) | FEM relb (suite A) |",
-                "|---|---|---|---|---|---|---|",
+                "|---|---|---|---|---|---|---|---|---|",
             ]
             for c in ("A3", "A5"):
-                k = "O_march_" + c
-                if k not in out:
-                    continue
-                m = out[k]
                 fem = (out[c]["yearly"][-1] if c in out else None)
                 femN = f"{fem['relN_win']:.2e}" if fem else "-"
                 femb = f"{fem['relb_win']:.2e}" if fem else "-"
-                lines.append(
-                    f"| {c} | {m['years']:.1f} "
-                    f"| {m['relN_march_uniform']:.2e} "
-                    f"| {m['relb_march_uniform']:.2e} "
-                    f"| {m['yspread_N'] / 1e6:.3f} "
-                    f"| {femN} | {femb} |")
+                for leg, k in (("stability", "O_stab_" + c),
+                               ("protocol", "O_march_" + c)):
+                    if k not in out:
+                        continue
+                    m = out[k]
+                    lines.append(
+                        f"| {c} | {leg} | {m['years']:.1f} "
+                        f"| {m['relN_march_uniform']:.2e} "
+                        f"| {m['relb_march_uniform']:.2e} "
+                        f"| {m['yspread_N'] / 1e6:.3f} "
+                        f"| {m.get('frac_b_floor', float('nan')) * 100:.0f}% "
+                        f"| {femN} | {femb} |")
+            stab = [out["O_stab_" + c] for c in ("A3", "A5")
+                    if "O_stab_" + c in out]
+            if stab:
+                grew = all(s["yspread_N"] > 10 * 0.10 * 1e5 for s in stab)
+                lines += [
+                    "",
+                    ("Measured verdict: the y-uniform branch is "
+                     "dynamically UNSTABLE under the independent FV "
+                     "dynamics at this resolution — y-structure grows "
+                     "from 10% gap noise (y-spread column), so "
+                     "channelization onset is a property of the "
+                     "equations, not of the P1 FEM discretization; the "
+                     "FEM's suite-A window deviations from the y-uniform "
+                     "oracle measure that self-organization."
+                     if grew else
+                     "Measured verdict: the y-uniform branch held "
+                     "y-uniform under the FV dynamics at this resolution "
+                     "— channelization onset at 60x12 is "
+                     "discretization-dependent; the FEM's suite-A window "
+                     "deviations measure its own lateral "
+                     "self-organization relative to a branch the FV "
+                     "scheme keeps."),
+                ]
     if "B5" in out:
         lines += [
             "",
@@ -936,9 +1039,10 @@ def build_md(out):
 
 def main(quick=False, suites="ABCDEF", force=False, cases=None,
          budget_override=None):
-    out = {}
+    out = _Cache()
     if os.path.exists(CACHE):
-        out = json.load(open(CACHE))
+        out.update(json.load(open(CACHE)))
+        out._dirty.clear()
     A5 = B5_state = None
     if "A" in suites:
         A5 = suite_A(out, quick)
@@ -963,12 +1067,9 @@ def main(quick=False, suites="ABCDEF", force=False, cases=None,
                 budget_override=budget_override)
     if "O" in suites:
         suite_O(out, quick, force=force)
-    # persist the (hours-of-compute) results cache BEFORE rendering the
-    # markdown, so a rendering error cannot lose them
-    with open(CACHE, "w") as f:
-        json.dump(out, f, indent=1)
-    with open(os.path.join(ROOT, "SHMIP.md"), "w") as f:
-        f.write("\n".join(build_md(out)) + "\n")
+    # persist the (hours-of-compute) results cache (merge-by-dirty-keys;
+    # concurrent invocations covering other cases are not clobbered)
+    _save_cache(out)
     print("wrote SHMIP.md + scripts/shmip_results.json")
 
 

@@ -125,6 +125,53 @@ def test_framework_within_band_of_reference_semantics():
 # model too).
 # ---------------------------------------------------------------------------
 
+def test_fv_march_quasi_static_consistency():
+    """The march's quasi-static head solve must reproduce the coupled
+    column-Newton steady state at the uniform branch (same module, two
+    independent flux discretizations: cell-centered Re + harmonic-mean
+    face T vs face-based exact quadratic-root fluxes — O(h) apart).
+    Guards the recharge SIGN of the elliptic rhs (a `- inp` bug made
+    recharge act as drainage: this relL2 was 0.85+ instead of ~0.06,
+    and every march collapsed into a sealed b-floor/N-overburden
+    state)."""
+    import oracle.shmip_fv2d as fv
+    import numpy as np
+
+    u = fv.steady_column_newton("A5", nx=60)
+    assert u["converged"]
+    g = fv.Grid(60, 12)
+    N = np.tile(u["N"], (12, 1))
+    b = np.tile(u["b"], (12, 1))
+    Re = np.zeros((12, 60))
+    N_hi = fv.RHO_I * fv.G_GRAV * g.zs
+    qs = fv._quasi_static_N(g, b, 0.0, fv.CASES_A["A5"], N, Re,
+                            -0.25 * N_hi, N_hi)
+    assert qs is not None
+    N_qs = qs[0]
+    rel = np.linalg.norm(N_qs - N) / np.linalg.norm(N)
+    assert rel < 0.15, rel                   # measured ~0.059 at 60x12
+
+
+def test_fv_march_holds_uniform_branch():
+    """A 30-day no-noise march from the uniform steady state must stay
+    y-uniform, keep every cell off the gap floor, and drift only the
+    O(h) flux-law gap — the march's dynamics are gentle at its own
+    uniform branch.  (Under the recharge-sign bug the gap drained
+    toward the sealed basin instead.)"""
+    import oracle.shmip_fv2d as fv
+    import numpy as np
+
+    u = fv.steady_column_newton("A5", nx=60)
+    m = fv.march("A5", nx=60, ny=12, years=30 / 365.25, noise=0.0,
+                 b_init=u["b"], N_init=u["N"], seed=0)
+    win = (m["x"] > 10e3) & (m["x"] < 90e3)
+    relb = (np.linalg.norm(m["b"][win] - u["b"][win])
+            / np.linalg.norm(u["b"][win]))
+    assert m["frac_b_floor"] == 0.0
+    assert m["yspread_N"] < 1e3, m["yspread_N"]   # measured ~4e-10 Pa
+    assert relb < 0.1, relb                       # measured ~0.027
+
+
 def test_fv_column_newton_matches_1d_shooting_oracle():
     from oracle import shmip_fv2d as fv
     from oracle.shmip_oracle import steady_profile
