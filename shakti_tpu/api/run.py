@@ -125,7 +125,16 @@ def _bootstrap_f64(md, timesteps, nt_save, k_steps):
     x64_was = bool(jax.config.jax_enable_x64)
     jax.config.update("jax_enable_x64", True)
     try:
-        cpu = jax.devices("cpu")[0]
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            # the axon TPU plugin overrides JAX_PLATFORMS to 'axon'
+            # alone, hiding the host CPU backend the bootstrap needs;
+            # re-pinning to '<default>,cpu' AFTER init is honored on
+            # that host (measured) and keeps the default backend first
+            jax.config.update(
+                "jax_platforms", jax.default_backend() + ",cpu")
+            cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             old_dtype = md.dtype
             md.dtype = jnp.float64
