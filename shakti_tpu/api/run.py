@@ -123,6 +123,7 @@ def _bootstrap_f64(md, timesteps, nt_save, k_steps):
     k = min(k, nt - 1)
 
     x64_was = bool(jax.config.jax_enable_x64)
+    platforms_was = jax.config.jax_platforms
     jax.config.update("jax_enable_x64", True)
     try:
         try:
@@ -167,6 +168,7 @@ def _bootstrap_f64(md, timesteps, nt_save, k_steps):
                 wins.append((i0, wlen, flat, dg))
     finally:
         jax.config.update("jax_enable_x64", x64_was)
+        jax.config.update("jax_platforms", platforms_was)
     return state, wins, k + 1
 
 
@@ -436,7 +438,12 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         """Per-window host bookkeeping from the pulled row.  ``ck_state``
         is the (immutable) device state pytree from the end of the group
         this window belongs to — the correct checkpoint snapshot even when
-        the main loop has already dispatched the next group."""
+        the main loop has already dispatched the next group.  ``None``
+        suppresses rolling checkpoints for this window (the f64 bootstrap
+        replay has no per-window state — only the boot-END state — so a
+        mid-replay checkpoint would pair an early next_step with a later
+        state and corrupt any resume; the replay writes ONE correct
+        checkpoint after it completes)."""
         nonlocal row, newton_total, cg_total
         conv, ni, ci, rn = dg[0] > 0.0, dg[1], dg[2], dg[3]
         if not conv.all():
@@ -461,7 +468,7 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         log_rows.append((last, float(timesteps[last]), float(ni.mean()),
                          int(ni.max()), float(ci.mean()), float(rn.max())))
         row += 1
-        if io_on and _ck_due(i0, last, nt_check):
+        if io_on and ck_state is not None and _ck_due(i0, last, nt_check):
             write_histories()
             write_log()
             # rolling checkpoints omit the carried operator (crash
@@ -529,8 +536,19 @@ def solve(md, *, resume: bool = False, progress: bool = True):
             N_prev=None if state.N_prev is None else cast(s64.N_prev))
         for (i0, wlen, flat, dg) in bwins:
             flat32 = None if flat is None else flat.astype(hist_dt)
-            consume(i0, wlen, flat32, dg, state)
+            consume(i0, wlen, flat32, dg, None)
         start_step = boot_end
+        if io_on:
+            # one correct checkpoint at the bootstrap boundary: state
+            # after step boot_end-1 paired with next_step=boot_end, so a
+            # crash before the first main-loop rolling checkpoint resumes
+            # from here instead of re-marching certified f64 steps from a
+            # wrong state (the replayed windows above checkpoint nothing)
+            write_histories()
+            write_log()
+            if primary:
+                ckpt.save_state(rdir, state, boot_end, row,
+                                fingerprint=mesh_fp, include_lag=False)
         if progress and primary:
             print(f"f64 bootstrap: steps 0..{boot_end - 1} marched on the "
                   f"host CPU, continuing in {np.dtype(md.dtype).name}")

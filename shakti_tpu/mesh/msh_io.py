@@ -44,15 +44,25 @@ def read_msh(path: str):
             en = ">"
         else:
             raise ValueError(f"{path}: bad binary endianness probe")
-        if version >= 4.0:
-            nodes, tags = _read_nodes_v4_bin(data, en)
-            cells_raw = _read_elements_v4_bin(data, en)
+        if 4.0 <= version < 4.1:
+            # MSH 4.0 has a different Nodes/Elements layout (2-value
+            # size_t section headers, swapped entityTag/dim ints,
+            # interleaved node records) — routing it through the 4.1
+            # parser would yield garbage coordinates, not an error
+            raise ValueError(f"{path}: MSH {version} not supported "
+                             "(re-export with gmsh >= 4.1, or ASCII 2.2)")
+        if version >= 4.1:
+            nodes, tags, off = _read_nodes_v4_bin(data, en)
+            cells_raw = _read_elements_v4_bin(data, en, off)
         else:
-            nodes, tags = _read_nodes_v2_bin(data, en)
-            cells_raw = _read_elements_v2_bin(data, en)
+            nodes, tags, off = _read_nodes_v2_bin(data, en)
+            cells_raw = _read_elements_v2_bin(data, en, off)
     else:
         lines = data.decode("latin-1").splitlines()
-        if version >= 4.0:
+        if 4.0 <= version < 4.1:
+            raise ValueError(f"{path}: MSH {version} not supported "
+                             "(re-export with gmsh >= 4.1, or ASCII 2.2)")
+        if version >= 4.1:
             nodes, tags = _read_nodes_v4(lines)
             cells_raw = _read_elements_v4(lines)
         else:
@@ -70,13 +80,26 @@ def read_msh(path: str):
 
 # ---------------------------------------------------------------- binary
 
-def _bin_section(data: bytes, name: str) -> int:
-    """Byte offset just past the '$<name>\\n' marker."""
-    k = data.find(b"$" + name.encode())
-    if k < 0:
-        raise ValueError(f"missing ${name} section")
-    # tolerate \r\n
-    return data.index(b"\n", k) + 1
+def _bin_section(data: bytes, name: str, start: int = 0) -> int:
+    """Byte offset just past the '$<name>' marker line.
+
+    The marker must begin a line (preceded by a newline, or sit at the
+    file start) and occupy that line alone (\\r tolerated), and the scan
+    begins at ``start``: raw binary payload of an earlier section (e.g.
+    $Entities doubles, or node coordinates when locating $Elements) can
+    coincidentally contain the marker bytes, so callers pass the end
+    offset of the previous section."""
+    marker = b"$" + name.encode()
+    k = start
+    while True:
+        k = data.find(marker, k)
+        if k < 0:
+            raise ValueError(f"missing ${name} section")
+        if k == 0 or data[k - 1:k] == b"\n":
+            eol = data.find(b"\n", k)
+            if eol > 0 and data[k:eol].rstrip(b"\r") == marker:
+                return eol + 1
+        k += 1
 
 
 class _Cursor:
@@ -116,14 +139,14 @@ def _read_nodes_v4_bin(data, en):
             raise ValueError("parametric node blocks not supported")
         xyz = c.doubles(3 * n_in_block).reshape(n_in_block, 3)
         coords.extend(xyz.tolist())
-    return coords, tags
+    return coords, tags, c.o
 
 
 _V4_NODES_PER_TYPE = {1: 2, 2: 3, 3: 4, 4: 4, 15: 1}
 
 
-def _read_elements_v4_bin(data, en):
-    c = _Cursor(data, _bin_section(data, "Elements"), en)
+def _read_elements_v4_bin(data, en, start=0):
+    c = _Cursor(data, _bin_section(data, "Elements", start), en)
     n_blocks, *_ = c.size_ts(4)
     tris = []
     for _ in range(n_blocks):
@@ -148,11 +171,12 @@ def _read_nodes_v2_bin(data, en):
     rec = np.frombuffer(data, dtype=np.dtype([("tag", en + "i4"),
                                               ("xyz", en + "f8", (3,))]),
                         count=n, offset=eol + 1)
-    return rec["xyz"].tolist(), rec["tag"].astype(np.int64).tolist()
+    return (rec["xyz"].tolist(), rec["tag"].astype(np.int64).tolist(),
+            eol + 1 + rec.nbytes)
 
 
-def _read_elements_v2_bin(data, en):
-    off = _bin_section(data, "Elements")
+def _read_elements_v2_bin(data, en, start=0):
+    off = _bin_section(data, "Elements", start)
     eol = data.index(b"\n", off)
     n = int(data[off:eol])
     c = _Cursor(data, eol + 1, en)

@@ -418,40 +418,17 @@ def _colored_jacobian(raw_residual, u, plan, dtype):
 
 def _dense_solve_A(A, masks, fix_b, rb_scale, R, dtype,
                    extra_diag_b=None):
-    """Exact Newton step from an explicitly assembled (n, 2, n, 2)
-    Jacobian (jax.jacfwd of the exact fixed-point residual — the nodal
-    q/melt averaging couples 2-hop neighbours, so the element-block
-    assembly of the approximate cell-local form does not apply)."""
+    """Exact Newton step by dense LU from an explicitly assembled
+    (n, 2, n, 2) Jacobian (colored jvp probing of the exact fixed-point
+    residual — the nodal q/melt averaging couples 2-hop neighbours, so
+    element-block assembly of a cell-local form does not apply).  Dense
+    LU is the default at suite scale: the channelized N-block's
+    transmissivity spans ~8 decades and block-Jacobi BiCGStab measured
+    2000+ iterations without convergence there — an exact inner solve is
+    what lets Newton be Newton.  Constrained rows/cols are eliminated to
+    identity.  O((2n)^2) memory: ~20 MB at n = 793 (SHMIP), ~134 MB at
+    the dense_max_nodes=2048 cutoff."""
     n = R.shape[0]
-    if extra_diag_b is not None:
-        ar = jnp.arange(n)
-        A = A.at[ar, 1, ar, 1].add(extra_diag_b)
-    A = A.at[:, 1, :, :].multiply(rb_scale)
-    freeN = ~(masks.dirichlet | ~masks.active)
-    freeb = ~(fix_b | ~masks.active)
-    free = jnp.stack([freeN, freeb], axis=-1).reshape(-1)
-    M = A.reshape(2 * n, 2 * n)
-    M = jnp.where(free[:, None] & free[None, :], M, 0.0)
-    M = M + jnp.diag(jnp.where(free, 0.0, 1.0).astype(dtype))
-    du = jnp.linalg.solve(M, -R.reshape(-1))
-    return du.reshape(n, 2), {"iters": jnp.asarray(1, jnp.int32)}
-
-
-def _dense_solve(J6, mesh, masks, fix_b, rb_scale, R, dtype,
-                 extra_diag_b=None):
-    """Exact Newton step by dense LU of the assembled coupled Jacobian —
-    the default at suite scale (the channelized N-block's transmissivity
-    spans ~8 decades; block-Jacobi BiCGStab measured 2000+ iterations
-    without convergence there, and an exact inner solve is what lets
-    Newton be Newton).  Constrained rows/cols are eliminated to identity.
-    O((2n)^2) memory: ~20 MB at n = 793 (SHMIP), ~134 MB at the
-    dense_max_nodes=2048 cutoff."""
-    n = R.shape[0]
-    A = jnp.zeros((n, 2, n, 2), dtype)
-    ci = mesh.cells
-    for i in range(3):
-        for j in range(3):
-            A = A.at[ci[:, i], :, ci[:, j], :].add(J6[:, i, :, j, :])
     if extra_diag_b is not None:
         ar = jnp.arange(n)
         A = A.at[ar, 1, ar, 1].add(extra_diag_b)

@@ -62,6 +62,58 @@ def test_bootstrap_resume_continues_past_boot(tmp_path):
     assert steps_logged == sorted(set(steps_logged))  # no dupes, ordered
 
 
+def test_kill_after_bootstrap_resumes_from_boot_boundary(tmp_path,
+                                                         monkeypatch):
+    """Crash insurance at the bootstrap boundary: the replay of the f64
+    windows must NOT write rolling checkpoints (it only has the boot-END
+    state — a mid-replay checkpoint would pair next_step=1 with that
+    later state and silently corrupt any resume); exactly one checkpoint
+    with next_step == boot_end lands after the replay, and a kill right
+    there resumes to the uninterrupted trajectory."""
+    from shakti_tpu.api import run as run_mod
+    from shakti_tpu.io import checkpoint as ckpt
+
+    # uninterrupted reference run (nt_check=4: checkpoint events fall
+    # inside the bootstrap region, the pre-fix corruption trigger)
+    md_full = _mk(tmp_path, "full", np.float32, boot=3)
+    md_full.nt_check = 4
+    md_full.solve(progress=False)
+
+    # killed run: die immediately after the first checkpoint write
+    calls = []
+    real_save = ckpt.save_state
+
+    def dying_save(rdir, state, next_step, next_row, **kw):
+        calls.append(int(next_step))
+        real_save(rdir, state, next_step, next_row, **kw)
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(run_mod.ckpt, "save_state", dying_save)
+    md_kill = _mk(tmp_path, "kill", np.float32, boot=3)
+    md_kill.nt_check = 4
+    with pytest.raises(KeyboardInterrupt):
+        md_kill.solve(progress=False)
+    monkeypatch.setattr(run_mod.ckpt, "save_state", real_save)
+
+    # the first checkpoint must be the bootstrap-boundary one (boot=3
+    # rounds up to 4 marched steps -> next_step=5), never a replayed
+    # window's early index paired with the boot-end state
+    assert calls == [5], calls
+    st, nxt, row = ckpt.load_state(str(tmp_path / "kill"),
+                                   dtype=np.float32)
+    assert nxt == 5 and row == 2
+
+    # resume completes and reproduces the uninterrupted run exactly
+    md_res = _mk(tmp_path, "unused", np.float32, boot=3)
+    md_res.results_name = str(tmp_path / "kill")
+    md_res.nt_check = 4
+    md_res.solve(progress=False, resume=True)
+    for k in ("N", "b", "qx", "qy"):
+        a = np.load(tmp_path / "kill" / f"{k}.npy")
+        b = np.load(tmp_path / "full" / f"{k}.npy")
+        np.testing.assert_array_equal(a, b, err_msg=k)
+
+
 def test_reference_binit_cooke2_certifies_with_bootstrap(monkeypatch,
                                                          tmp_path):
     """The flagship contract: the reference's EXACT unclamped noisy IC
