@@ -25,6 +25,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# honor JAX_PLATFORMS=cpu (the env var alone is ignored under the axon TPU
+# plugin — an un-pinned example would silently become a tunnel client and
+# wedge concurrent TPU jobs; see CLAUDE.md)
+from shakti_tpu.utils.backend import honor_platforms_env  # noqa: E402
+
+honor_platforms_env()
+
 
 def load_grids(L0=50e3):
     """(x, y, z_s, z_b, lake_outline) around the target lake.
@@ -84,8 +91,28 @@ def main(outdir="results/basin_pipeline"):
     phi = basin.background_potential(z_s, z_b)
     print(f"potential grid {phi.shape}, relief {phi.max() - phi.min():.3g} Pa")
 
+    # GeoTIFF round-trip of the uint8-normalized potential — the exact
+    # raster leg of the reference workflow (create_mesh.ipynb cells 8-10:
+    # normalize to uint8, write a GTiff with a from_bounds transform,
+    # read it back for flow routing in cell 11).  Flow routing then runs
+    # on the quantized values read from disk, like topotoolbox's.
+    from shakti_tpu.data.geotiff import (quantize_potential, read_geotiff,
+                                         write_geotiff)
+    os.makedirs(outdir, exist_ok=True)
+    tif = os.path.join(outdir, "potential_dem.tif")
+    dx = float(x[1] - x[0])
+    dy = float(abs(y[1] - y[0]))
+    # north-up raster: row 0 at y.max (phi rows follow ascending y here)
+    write_geotiff(tif, quantize_potential(phi)[::-1], west=x.min() - dx / 2,
+                  north=y.max() + dy / 2, dx=dx, dy=dy, epsg=3031)
+    xt, yt, phi8, meta = read_geotiff(tif)
+    if yt[0] > yt[-1]:          # north-up raster rows -> ascending y grid
+        yt, phi8 = yt[::-1], phi8[::-1]
+    print(f"wrote+read {tif}: {phi8.dtype} {phi8.shape} epsg={meta['epsg']}")
+
     nodes, cells, outline = basin.basin_mesh(
-        x, y, phi, lake_outline=lake_outline, resolution=2000.0)
+        xt, yt, phi8.astype(np.float64), lake_outline=lake_outline,
+        resolution=2000.0)
     print(f"catchment outline: {outline.shape[0]} vertices; "
           f"mesh: {nodes.shape[0]} nodes / {cells.shape[0]} triangles")
 

@@ -121,3 +121,55 @@ def test_simplify_polygon_square_staircase():
     # max deviation from the original ring stays bounded
     from shakti_tpu.mesh.geometry import points_in_polygon
     assert points_in_polygon(np.array([[0.0, 0.0]]), out).all()
+
+
+def test_basin_mesh_from_geotiff_fixture(tmp_path):
+    """The raster leg of the reference mesh workflow (create_mesh.ipynb
+    cells 8-11): normalize the potential to uint8, round-trip it through
+    a GeoTIFF ON DISK, and drive the drainage-basin mesher from the
+    values read back — the quantized raster, not the float grid."""
+    from shakti_tpu.data.geotiff import (quantize_potential, read_geotiff,
+                                         write_geotiff)
+    from shakti_tpu.mesh import basin
+
+    n = 160
+    L = 40e3
+    x = np.linspace(-L, L, n)
+    y = np.linspace(-L, L, n)
+    X, Y = np.meshgrid(x, y)
+    z_s = 800.0 + 0.01 * np.hypot(X + L, Y)   # single outlet at (-L, 0)
+    z_b = np.zeros_like(z_s)
+    phi = basin.background_potential(z_s, z_b)
+
+    tif = str(tmp_path / "potential.tif")
+    dx = float(x[1] - x[0])
+    write_geotiff(tif, quantize_potential(phi)[::-1], west=x.min() - dx / 2,
+                  north=y.max() + dx / 2, dx=dx, dy=dx, epsg=3031)
+
+    xt, yt, p8, meta = read_geotiff(tif)
+    assert p8.dtype == np.uint8 and meta["epsg"] == 3031
+    # north-up raster -> ascending-y grid; the round trip restores the
+    # original orientation exactly
+    yt, p8 = yt[::-1], p8[::-1]
+    np.testing.assert_allclose(xt, x, atol=1e-6)
+    np.testing.assert_allclose(yt, y, atol=1e-6)
+    np.testing.assert_array_equal(p8, quantize_potential(phi))
+
+    lake = np.column_stack([-10e3 + 6e3 * np.cos(np.linspace(0, 2 * np.pi, 33)),
+                            6e3 * np.sin(np.linspace(0, 2 * np.pi, 33))])
+    nodes, cells, outline = basin.basin_mesh(
+        xt, yt, p8.astype(np.float64), lake_outline=lake, resolution=4000.0)
+    assert nodes.shape[0] > 50 and cells.shape[0] > 50
+    assert outline.shape[0] >= 4        # simplified catchment polygon
+    # the lake centroid lies inside the meshed catchment
+    from shakti_tpu.mesh.geometry import points_in_polygon
+    assert points_in_polygon(np.array([[-10e3, 0.0]]), outline)[0]
+
+
+def test_geotiff_reader_rejects_georeference_free_tiff(tmp_path):
+    from PIL import Image
+
+    from shakti_tpu.data.geotiff import read_geotiff
+    Image.fromarray(np.zeros((4, 4), np.uint8)).save(tmp_path / "p.tif")
+    with pytest.raises(ValueError, match="georeferencing"):
+        read_geotiff(str(tmp_path / "p.tif"))
