@@ -107,33 +107,130 @@ def far_field_ratio(N_hist: np.ndarray, far_mask: np.ndarray,
 # ------------------------------------------------------------------- plotting
 
 def render_frames(results: dict, out_dir: str, lake_outline=None,
-                  every: int = 1, params: PhysicalParams = DEFAULT_PARAMS):
-    """Render per-save map frames (N, b, |q|) as PNGs — the library
-    equivalent of solution-plots.ipynb cell 12's movie frames.
-    Requires matplotlib."""
+                  every: int = 1, params: PhysicalParams = DEFAULT_PARAMS,
+                  lake_mask=None, storage_on: bool = False,
+                  outflow_mask=None, cells=None) -> dict:
+    """Render per-save 6-panel movie frames as PNGs — the library
+    equivalent of solution-plots.ipynb cell 12 (reference, composition
+    matched panel for panel):
+
+      top row   — maps: N [MPa] (linear, Purples), b [m] (log, Greens),
+                  |q| [m^2/s] (log, Blues) with outflow dofs marked;
+      bottom    — three stacked time series drawn up to the frame's time:
+                  lake level -(N̄-N̄_0)/(ρ_w g) when ``storage_on`` and a
+                  ``lake_mask`` is given (with the reference's
+                  second-half linregress + cm/yr annotation), else mean
+                  N; then mean gap b̄ with its mm/yr regression; then
+                  max |q|.
+
+    ``cells`` (optional (c, 3) connectivity) draws the true mesh
+    triangulation instead of a Delaunay rebuild.  Requires matplotlib.
+    Returns {"frames": n_written, "panels": 6}.
+    """
     import matplotlib
     matplotlib.use("Agg")
+    import matplotlib.colors as mcolors
     import matplotlib.pyplot as plt
     import matplotlib.tri as mtri
 
     os.makedirs(out_dir, exist_ok=True)
     x, y, t = results["nodes_x"], results["nodes_y"], results["t"]
-    tri = mtri.Triangulation(x / 1e3, y / 1e3)
-    for j in range(0, t.size, every):
-        fig, axs = plt.subplots(1, 3, figsize=(15, 4.2))
-        for ax, (field, label, scale) in zip(axs, [
-            (results["N"][j], "N [MPa]", 1e-6),
-            (results["b"][j], "b [mm]", 1e3),
-            (np.hypot(results["qx"][j], results["qy"][j]), "|q| [m$^2$/s]", 1.0),
-        ]):
-            tc = ax.tricontourf(tri, field * scale, levels=21)
-            fig.colorbar(tc, ax=ax, label=label)
+    tri = (mtri.Triangulation(x / 1e3, y / 1e3, np.asarray(cells))
+           if cells is not None else mtri.Triangulation(x / 1e3, y / 1e3))
+    t_yr = t / 3.154e7
+    qmag = np.hypot(results["qx"], results["qy"])
+    q_max_ts = qmag.max(axis=1)
+    b_mean_ts = results["b"].mean(axis=1)
+    jm = t.size
+    half = slice(jm // 2, jm)
+    use_lake = storage_on and lake_mask is not None
+    if use_lake:
+        ts1 = lake_level(results["N"], lake_mask, params)
+        lab1, col1 = (r"$(\overline{N}_0-\overline{N})/\rho_w g$ [m]",
+                      "mediumpurple")
+        rate1, note1 = _regress(t_yr[half], ts1[half]), "cm/yr"
+    else:
+        ts1 = results["N"].mean(axis=1) / 1e6
+        lab1, col1 = r"$\overline{N}$ [MPa]", "mediumpurple"
+        rate1, note1 = None, ""
+    rate_b = _regress(t_yr[half], b_mean_ts[half])
+
+    tiny = 1e-12
+    n_written = 0
+    for j in range(0, jm, every):
+        fig = plt.figure(figsize=(13, 10))
+        gs = fig.add_gridspec(4, 3, height_ratios=[2.2, 0.6, 0.6, 0.6],
+                              hspace=0.45)
+        maps = [
+            (results["N"][j] / 1e6, "N [MPa]", "Purples", None),
+            (np.maximum(results["b"][j], tiny), "b [m]", "Greens",
+             mcolors.LogNorm(vmin=1e-3, vmax=1.0)),
+            (np.maximum(qmag[j], tiny), r"$|\mathbf{q}|$ [m$^2$/s]",
+             "Blues", mcolors.LogNorm(vmin=1e-6, vmax=1e-4)),
+        ]
+        for k, (field, label, cmap, norm) in enumerate(maps):
+            ax = fig.add_subplot(gs[0, k])
+            if norm is None:
+                tc = ax.tricontourf(tri, field, levels=21, cmap=cmap,
+                                    extend="both")
+            else:
+                lv = np.logspace(np.log10(norm.vmin), np.log10(norm.vmax),
+                                 40)
+                tc = ax.tricontourf(tri, np.clip(field, norm.vmin,
+                                                 norm.vmax),
+                                    levels=lv, cmap=cmap, norm=norm,
+                                    extend="both")
+            fig.colorbar(tc, ax=ax, label=label, orientation="horizontal",
+                         location="top", fraction=0.08, pad=0.04)
             if lake_outline is not None:
                 ax.plot(lake_outline[:, 0] / 1e3, lake_outline[:, 1] / 1e3,
-                        "w--", lw=1)
+                        "b-", lw=1.5)
+            if outflow_mask is not None and k in (0, 2):
+                ax.plot(x[outflow_mask] / 1e3, y[outflow_mask] / 1e3, "o",
+                        ms=2.5, color="deeppink", zorder=100)
+            ax.set_aspect("equal", "box")
             ax.set_xlabel("x [km]")
-        axs[0].set_ylabel("y [km]")
-        fig.suptitle(f"t = {t[j] / 3.154e7 * 365:.1f} days")
-        fig.tight_layout()
-        fig.savefig(os.path.join(out_dir, f"frame_{j:05d}.png"), dpi=110)
+            if k == 0:
+                ax.set_ylabel("y [km]")
+        series = [
+            (ts1, lab1, col1, rate1, note1, 1e2),
+            (b_mean_ts, r"$\overline{b}$ [m]", "forestgreen",
+             rate_b, "mm/yr", 1e3),
+            (q_max_ts, r"$|\mathbf{q}|_{max}$ [m$^2$/s]", "royalblue",
+             None, "", 1.0),
+        ]
+        for k, (ts, label, color, rate, unit, rscale) in enumerate(series):
+            ax = fig.add_subplot(gs[k + 1, :])
+            ax.plot(t_yr[1:j + 1], ts[1:j + 1], color=color, lw=2.5)
+            if rate is not None and j > jm // 2:
+                sl, ic = rate
+                tt = t_yr[half][: j - jm // 2]
+                ax.plot(tt, sl * tt + ic, "k--", lw=1.2)
+                if j > 3 * jm // 4:
+                    ax.annotate(f"{sl * rscale:+.2f} {unit}",
+                                xy=(t_yr[jm // 2], ts[half].mean()),
+                                color=color, fontsize=11)
+            ax.set_xlim(0, t_yr[-1] if t_yr[-1] > 0 else 1.0)
+            ax.set_ylabel(label, color=color, fontsize=10)
+            ax.tick_params(axis="y", colors=color)
+            ax.grid(axis="x")
+            if k < 2:
+                ax.set_xticklabels([])
+        ax.set_xlabel("t [yr]")
+        fig.suptitle(
+            f"t = {t_yr[j]:.2f} yr "
+            + ("[LAKE STORAGE]" if storage_on else "[NO STORAGE]"),
+            y=0.995, fontsize=14,
+            bbox=dict(boxstyle="round", facecolor="w"))
+        fig.savefig(os.path.join(out_dir, f"frame_{j:05d}.png"), dpi=110,
+                    bbox_inches="tight")
         plt.close(fig)
+        n_written += 1
+    return {"frames": n_written, "panels": 6}
+
+
+def _regress(t, y):
+    """(slope, intercept) least squares — the reference's linregress."""
+    A = np.vstack([t, np.ones_like(t)]).T
+    sl, ic = np.linalg.lstsq(A, y, rcond=None)[0]
+    return float(sl), float(ic)

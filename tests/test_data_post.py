@@ -150,13 +150,28 @@ def test_operator_cells_path_matches_ell():
                                rtol=1e-10)
 
 
-def test_render_frames_smoke(tmp_path):
+def test_render_frames_six_panels(tmp_path):
+    """The movie frames must be the reference's 6-panel composition
+    (solution-plots.ipynb cell 12): 3 maps + 3 time-series rows, with
+    the lake-level panel when storage is on."""
     import os
-    t = np.linspace(0, 86400.0, 2)
+    nt = 8
+    t = np.linspace(0, 8 * 86400.0, nt)
     n = 25
     x, y = np.meshgrid(np.linspace(0, 4e3, 5), np.linspace(0, 4e3, 5))
+    rng = np.random.default_rng(0)
     res = {"t": t, "nodes_x": x.ravel(), "nodes_y": y.ravel(),
-           "N": np.full((2, n), 1e5), "b": np.full((2, n), 1e-3),
-           "qx": np.zeros((2, n)), "qy": np.zeros((2, n))}
-    post.render_frames(res, str(tmp_path / "frames"))
-    assert len(os.listdir(tmp_path / "frames")) == 2
+           "N": 1e5 + 1e3 * rng.random((nt, n)),
+           "b": 1e-3 + 1e-4 * rng.random((nt, n)),
+           "qx": 1e-5 * rng.random((nt, n)), "qy": np.zeros((nt, n))}
+    lake = np.zeros(n, bool)
+    lake[:5] = True
+    out = post.render_frames(res, str(tmp_path / "frames"),
+                             lake_mask=lake, storage_on=True,
+                             outflow_mask=lake)
+    assert out["panels"] == 6
+    assert out["frames"] == nt
+    assert len(os.listdir(tmp_path / "frames")) == nt
+    # no-storage branch (mean-N panel) renders too
+    out2 = post.render_frames(res, str(tmp_path / "f2"), every=nt)
+    assert out2 == {"frames": 1, "panels": 6}
