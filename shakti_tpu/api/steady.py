@@ -25,14 +25,66 @@ import jax
 import numpy as np
 
 from shakti_tpu.solve.steady import (YEAR, cycle_certify, make_steady_step,
-                                     steady_solve)
+                                     steady_carry_init,
+                                     steady_info_from_carry, steady_solve)
+
+
+def _ptc_segmented(md, step, state0, mask, mesh, ck_dir, segment_steps, kw):
+    """PTC march in checkpointed segments (see solve_steady docstring).
+
+    One compiled program serves every segment: the pause index ``k_end``
+    rides in the carry, so re-entry costs no recompilation.  The carry is
+    persisted by flattening its pytree (np.savez round-trips every leaf's
+    dtype and bits exactly; the segmented march is therefore bit-identical
+    to the single-shot while loop, which it literally re-enters)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from shakti_tpu.io.checkpoint import mesh_fingerprint
+
+    os.makedirs(ck_dir, exist_ok=True)
+    path = os.path.join(ck_dir, "ptc.npz")
+    fp = mesh_fingerprint(md.nodes)
+    kw2 = dict(kw)
+    max_steps = kw2.pop("max_steps")
+    seg = max(int(segment_steps), 1)
+    carry = steady_carry_init(state0, dt0=kw2.pop("dt0"),
+                              max_steps=max_steps)
+    flat, treedef = jax.tree_util.tree_flatten(carry)
+    if os.path.exists(path):
+        ck = np.load(path)
+        if int(ck["mesh_crc"]) != fp:
+            raise ValueError(f"{path}: checkpoint belongs to a different "
+                             "mesh (fingerprint mismatch)")
+        leaves = [np.asarray(ck[f"leaf_{i}"]) for i in range(len(flat))]
+        carry = jax.tree_util.tree_unflatten(treedef, [
+            jnp.asarray(a, np.asarray(b).dtype)
+            for a, b in zip(leaves, flat)])
+
+    runner = jax.jit(lambda c: steady_solve(
+        step, state0, params=md.params, drift_mask=mask, mesh=mesh,
+        dt0=1.0, max_steps=max_steps, carry_in=c, return_carry=True,
+        **kw2))
+    while not bool(np.asarray(carry["done"])) \
+            and int(np.asarray(carry["k"])) < max_steps:
+        carry = dict(carry)
+        carry["k_end"] = jnp.asarray(
+            min(int(np.asarray(carry["k"])) + seg, max_steps), jnp.int32)
+        state, dinfo, carry = runner(carry)
+        lv = jax.tree_util.tree_flatten(carry)[0]
+        np.savez(path + ".tmp.npz", mesh_crc=np.uint32(fp),
+                 **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(lv)})
+        os.replace(path + ".tmp.npz", path)
+    return carry["state"], steady_info_from_carry(carry)
 
 
 def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
                  max_steps=2000, max_rel_change=0.5, stab_safety=2.0,
                  budget=True, strict=True, cycle_window=0,
                  polish=False, polish_max_newton=3000,
-                 polish_patience=3, polish_max_wall_s=float("inf")):
+                 polish_patience=3, polish_max_wall_s=float("inf"),
+                 checkpoint=None, segment_steps=256):
     """Solve the model to steady state (drift < ``tol`` per ``t_ref``).
 
     Returns a dict: steady nodal fields ``N``/``b``/``qx``/``qy`` (caller
@@ -85,6 +137,18 @@ def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
     the ``"stationary"`` verdict certifies the attractor instead (the
     returned fields are then the pseudo-time-weighted TIME MEAN, with
     ``wander_rate``/``wander_amp_*`` in ``info``).
+
+    ``checkpoint``: a DIRECTORY for crash insurance on hours-long solves
+    (single-device path; SHMIP suite-S A4 cost 5,073 s single-shot).
+    The PTC march then runs in segments of ``segment_steps`` attempts,
+    persisting its full loop carry to ``<dir>/ptc.npz`` after each
+    segment (the carry round-trips bit-exactly, so a killed-and-resumed
+    march replays the uninterrupted iterate sequence and lands on the
+    identical verdict); the polish march checkpoints each Newton
+    segment to ``<dir>/polish.npz`` (solve/monolithic.steady_polish).
+    Re-invoking with the same directory resumes; both files are removed
+    on successful completion.  The cycle-certificate stage is one
+    bounded device program and is not checkpointed.
     """
     md.validate(require_timesteps=False)
     if dt0 is None:
@@ -118,10 +182,15 @@ def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
         # reachable equilibrium — see the solve/steady.py module docstring;
         # their residual drift is reported as info["rate_b_bdry"]
         mask = ~static.dirichlet
-        runner = jax.jit(lambda s: steady_solve(
-            step, s, params=md.params, drift_mask=mask, mesh=mesh, **kw))
         t0 = time.time()
-        state, dinfo = runner(state0)
+        if checkpoint:
+            state, dinfo = _ptc_segmented(md, step, state0, mask, mesh,
+                                          checkpoint, segment_steps, kw)
+        else:
+            runner = jax.jit(lambda s: steady_solve(
+                step, s, params=md.params, drift_mask=mask, mesh=mesh,
+                **kw))
+            state, dinfo = runner(state0)
     info = {k: (float(v) if np.asarray(v).dtype.kind == "f" else int(v))
             for k, v in dinfo.items()}
     info["converged"] = bool(dinfo["converged"])
@@ -142,10 +211,13 @@ def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
         st_in = state
         if st_in.lag_op is not None:
             st_in = _dc.replace(st_in, lag_op=None)
+        import os as _os
         p_state, pinfo = steady_polish(
             mesh, static, md.params, st_in, tol=tol, t_ref=t_ref,
             armijo_cuts=13, max_newton_total=polish_max_newton,
-            patience=polish_patience, max_wall_s=polish_max_wall_s)
+            patience=polish_patience, max_wall_s=polish_max_wall_s,
+            checkpoint=(_os.path.join(checkpoint, "polish.npz")
+                        if checkpoint else None))
         info["polish_rate_b"] = float(np.asarray(pinfo["rate_b"]))
         info["polish_resN"] = float(np.asarray(pinfo["resN_rel"]))
         info["polish_newton"] = int(pinfo["newton"])
@@ -215,6 +287,16 @@ def solve_steady(md, *, tol=1e-2, t_ref=YEAR, dt0=None, dt_max=1e9,
             "cycle_window")
         err.state, err.info = state, info
         raise err
+
+    if checkpoint and info["verdict"] != "no":
+        # conclusive return: drop the PTC crash-insurance file (a "no"
+        # verdict — strict raise or honest plateau return — keeps it, so
+        # a rerun with a larger max_steps budget resumes the exhausted
+        # march instead of restarting it)
+        import os as _os
+        _p = _os.path.join(checkpoint, "ptc.npz")
+        if _os.path.exists(_p):
+            _os.remove(_p)
 
     out = {"state": state, "info": info}
     unp = md.node_iperm if md.node_iperm is not None else slice(None)

@@ -747,6 +747,7 @@ def steady_polish(mesh, static, params: PhysicalParams, state0, *,
                   refreshes: int = 3, max_newton: int = 400,
                   max_newton_total: int = 6000, jit: bool = True,
                   patience: int = 3, max_wall_s: float = float("inf"),
+                  checkpoint: str | None = None,
                   **polish_kw):
     """Outer driver: repeat :func:`polish` in SEGMENTS of ``max_newton``
     iterations, refreshing the frozen Warburton m_diff (and the nodal
@@ -777,6 +778,14 @@ def steady_polish(mesh, static, params: PhysicalParams, state0, *,
     the 60x12 suite mesh.
     ``max_wall_s`` bounds the total host wall clock (segment granularity);
     the trajectory sampled so far still feeds the stationarity verdict.
+
+    ``checkpoint``: path of an ``.npz`` written after EVERY segment with
+    the complete host-loop state (iterate, dtau carry, counters, patience
+    bookkeeping, the wander trajectory, and the wall budget spent) — a
+    killed multi-hour march (SHMIP A4: 5,073 s single-shot) resumes at
+    its last segment boundary and replays the remaining segments exactly
+    as the uninterrupted run would have (the loop state round-trips
+    through npz bit-for-bit).  The file is removed on successful return.
     """
     run = lambda st: polish(mesh, static, params, st, tol=tol,
                             t_ref=t_ref, max_newton=max_newton,
@@ -794,6 +803,7 @@ def steady_polish(mesh, static, params: PhysicalParams, state0, *,
         run = jax.jit(run)
         run_cont = jax.jit(run_cont)
 
+    import os as _os
     import numpy as np
     import time as _time
     t_start = _time.time()
@@ -806,6 +816,8 @@ def steady_polish(mesh, static, params: PhysicalParams, state0, *,
     stale = 0
     seg = 0
     dtau_carry = None
+    spent = 0.0                 # wall seconds from resumed-over runs
+    wall_broke = False          # wall-budget exits keep the checkpoint
     # implicit-march trajectory samples (segment-end states + the pseudo-
     # time each segment advanced): if no fixed point is reachable, the
     # centroid stationarity of this trajectory is the conclusive verdict
@@ -813,6 +825,51 @@ def steady_polish(mesh, static, params: PhysicalParams, state0, *,
     # A3: rate decays 0.39 -> 0.02/yr over ~25 pseudo-years, then 2-5x
     # excursions recur)
     traj = []
+    if checkpoint and _os.path.exists(checkpoint):
+        ck = np.load(checkpoint, allow_pickle=False)
+        import dataclasses as _dc
+        cast = lambda k: jnp.asarray(ck[k], state0.N.dtype)
+        state = _dc.replace(
+            state0, N=cast("N"), b=cast("b"), q=cast("q"),
+            melt=cast("melt"),
+            N_prev=None if state0.N_prev is None else cast("N_prev"))
+        newton, krylov = int(ck["newton"]), int(ck["krylov"])
+        seg, refreshed, stale = (int(ck["seg"]), int(ck["refreshed"]),
+                                 int(ck["stale"]))
+        best_rate, dstate = float(ck["best_rate"]), float(ck["dstate"])
+        dtau_carry = (float(ck["dtau_carry"])
+                      if np.isfinite(ck["dtau_carry"]) else None)
+        spent = float(ck["spent"])
+        traj = [(ck["traj_b"][i], ck["traj_N"][i], float(ck["traj_t"][i]))
+                for i in range(ck["traj_t"].shape[0])]
+        info = {k[5:]: ck[k] for k in ck.files if k.startswith("info_")}
+
+    def _save_ck():
+        if not checkpoint:
+            return
+        q = np.asarray(state.q)
+        extra = {"info_" + k: np.asarray(v) for k, v in (info or {}).items()
+                 if np.asarray(v).ndim == 0}
+        np.savez(checkpoint + ".tmp.npz",
+                 N=np.asarray(state.N), b=np.asarray(state.b), q=q,
+                 melt=np.asarray(state.melt),
+                 N_prev=np.asarray(state.N_prev if state.N_prev is not None
+                                   else state.N),
+                 newton=np.int64(newton), krylov=np.int64(krylov),
+                 seg=np.int64(seg), refreshed=np.int64(refreshed),
+                 stale=np.int64(stale), best_rate=np.float64(best_rate),
+                 dstate=np.float64(dstate),
+                 dtau_carry=np.float64(dtau_carry if dtau_carry is not None
+                                       else np.nan),
+                 spent=np.float64(spent + _time.time() - t_start),
+                 traj_b=np.stack([b for (b, _, _) in traj])
+                 if traj else np.zeros((0, state0.N.shape[0])),
+                 traj_N=np.stack([N for (_, N, _) in traj])
+                 if traj else np.zeros((0, state0.N.shape[0])),
+                 traj_t=np.asarray([t for (_, _, t) in traj]),
+                 **extra)
+        _os.replace(checkpoint + ".tmp.npz", checkpoint)
+
     while newton < max_newton_total:
         seg += 1
         prev_b = np.asarray(state.b)
@@ -834,6 +891,7 @@ def steady_polish(mesh, static, params: PhysicalParams, state0, *,
                 break
             best_rate = np.inf      # converged segment: refresh and verify
             stale = 0
+            _save_ck()
             continue
         # unconverged segment: restart while the drift keeps improving,
         # continuing the march at (half) the reached dtau — the halving
@@ -850,10 +908,12 @@ def steady_polish(mesh, static, params: PhysicalParams, state0, *,
             stale += 1
             if stale >= max(patience, 1):
                 break
-        if _time.time() - t_start > max_wall_s:
-            break
         d = float(np.asarray(info["dtau"]))
         dtau_carry = max(min(d, 1e30) * 0.5, 1.0) if np.isfinite(d) else None
+        _save_ck()
+        if spent + (_time.time() - t_start) > max_wall_s:
+            wall_broke = True
+            break
     info = {k: np.asarray(v) for k, v in info.items()}
     info["newton"] = newton
     info["krylov_total"] = krylov
@@ -906,4 +966,11 @@ def steady_polish(mesh, static, params: PhysicalParams, state0, *,
             info["mean_state"] = dataclasses.replace(
                 state, N=u_mean[:, 0], b=u_mean[:, 1], q=qm, melt=mm,
                 N_prev=(None if state.N_prev is None else u_mean[:, 0]))
+    resumable = wall_broke or (newton >= max_newton_total
+                               and not bool(np.asarray(info["converged"])))
+    if checkpoint and not resumable and _os.path.exists(checkpoint):
+        # completed (converged / patience break): the march needs no
+        # resume.  Wall- or Newton-budget exhaustion keeps the file so a
+        # later call with a fresh budget continues instead of restarting.
+        _os.remove(checkpoint)
     return state, info

@@ -124,7 +124,7 @@ def steady_solve(step_fn, state0, *, params, dt0=3600.0, dt_max=1e9,
                  shrink=0.25, max_rel_change=0.5, stab_safety=2.0,
                  drift_mask=None, kappa0=1.0, kappa_min=1e-3,
                  osc_corr=-0.5, osc_M=20, stall_M=200, imp_eps=0.02,
-                 mesh=None):
+                 mesh=None, carry_in=None, return_carry=False):
     """March ``step_fn`` to steady state with adaptive pseudo-timesteps.
 
     ``step_fn`` should be built with ``b_update="semi_implicit"`` (an
@@ -149,6 +149,16 @@ def steady_solve(step_fn, state0, *, params, dt0=3600.0, dt_max=1e9,
     ``kappa`` (final coupling-cap multiplier), ``dt`` (final
     pseudo-timestep), ``t_pseudo`` (accumulated pseudo-time),
     ``newton_total`` / ``cg_total``.
+
+    Segmented marching (checkpoint/resume of hours-long solves,
+    api/steady.py): ``carry_in`` re-enters the march with the full loop
+    carry of an earlier call (the carry pytree round-trips through
+    ``np.savez`` exactly, so a resumed march replays the uninterrupted
+    iterate sequence bit-for-bit); ``return_carry=True`` appends that
+    carry as a third return value.  The carry's ``k_end`` entry is the
+    attempt index the loop pauses at — raise it (up to ``max_steps``)
+    before re-entering.  Both default off; the single-shot path is
+    unchanged.
     """
     if state0.lag_op is not None:
         raise ValueError("steady_solve requires lag_operator=False "
@@ -212,7 +222,7 @@ def steady_solve(step_fn, state0, *, params, dt0=3600.0, dt_max=1e9,
         return jnp.minimum(cap1, cap2), cap2
 
     def cond(c):
-        return (~c["done"]) & (c["k"] < max_steps)
+        return (~c["done"]) & (c["k"] < c["k_end"])
 
     def body(c):
         state, dt, kappa = c["state"], c["dt"], c["kappa"]
@@ -346,9 +356,28 @@ def steady_solve(step_fn, state0, *, params, dt0=3600.0, dt_max=1e9,
             "newton_total": c["newton_total"] + d["newton_iters"],
             "cg_total": c["cg_total"] + d["cg_iters"],
             "done": done,
+            "k_end": c["k_end"],
         }
 
-    init = {
+    init = steady_carry_init(state0, dt0=dt0, kappa0=kappa0,
+                             max_steps=max_steps)
+    out = jax.lax.while_loop(cond, body,
+                             init if carry_in is None else carry_in)
+    info = steady_info_from_carry(out)
+    if return_carry:
+        return out["state"], info, out
+    return out["state"], info
+
+
+def steady_carry_init(state0, *, dt0, kappa0=1.0, max_steps=2000):
+    """The PTC while-loop's initial carry (shared by :func:`steady_solve`
+    and the segmented checkpoint/resume driver in api/steady.py, which
+    needs the carry's pytree structure to round-trip it through npz)."""
+    dtype = state0.N.dtype
+    f = lambda v: jnp.asarray(v, dtype)
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    return {
+        "k_end": i32(max_steps),
         "state": state0, "dt": f(dt0), "kappa": f(kappa0),
         "cw": i32(0), "cneg": i32(0), "dt_fmark": f(dt0),
         "sw": i32(0), "ssum": f(0.0), "prev_avg": f(jnp.inf),
@@ -363,14 +392,17 @@ def steady_solve(step_fn, state0, *, params, dt0=3600.0, dt_max=1e9,
         "newton_total": i32(0), "cg_total": i32(0),
         "done": jnp.asarray(False),
     }
-    out = jax.lax.while_loop(cond, body, init)
+
+
+def steady_info_from_carry(out):
+    """The user-facing info dict of :func:`steady_solve`, from a carry."""
     info = {k: out[k] for k in ("done", "k", "accepted", "rejected", "rate",
                                 "rate_N", "rate_b", "rate_b_bdry", "kappa",
                                 "dt", "t_pseudo", "newton_total",
                                 "cg_total")}
     info["converged"] = info.pop("done")
     info["steps"] = info.pop("k")
-    return out["state"], info
+    return info
 
 
 def cycle_certify(step_fn, state0, *, params, dt, tol=1e-2, t_ref=YEAR,

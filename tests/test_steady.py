@@ -10,6 +10,7 @@ the in-graph drift certificate, a transient march FROM the returned state
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -260,3 +261,83 @@ def test_distributed_steady_matches_single_device(slab_steady):
     # both states carry a <= TOL/yr drift certificate; they must agree far
     # inside that (different Krylov paths => not bitwise)
     assert relN < 1e-6 and relb < 1e-3
+
+
+def test_steady_checkpoint_kill_and_resume(tmp_path, slab_steady):
+    """VERDICT r4 weak #7: hours-long steady solves need crash insurance.
+    The segmented PTC march persists its full loop carry per segment; a
+    budget-exhausted ("killed") run resumes from <dir>/ptc.npz and must
+    land on the single-shot verdict, step count, and state (the resumed
+    while-loop replays the identical iterate sequence)."""
+    import os
+
+    md0, out0 = slab_steady                 # single-shot reference
+
+    # "kill" after 64 PTC attempts: exhausted budget, honest plateau
+    md = setup_slab.initialize(nx=16, ny=16)
+    ckd = str(tmp_path / "ck")
+    out1 = md.solve_steady(tol=TOL, max_steps=64, strict=False,
+                           checkpoint=ckd, segment_steps=32)
+    assert out1["info"]["verdict"] == "no"
+    assert os.path.exists(os.path.join(ckd, "ptc.npz"))
+
+    # resume with the full budget: continues at k=64, not from scratch
+    md2 = setup_slab.initialize(nx=16, ny=16)
+    out2 = md2.solve_steady(tol=TOL, max_steps=1600, checkpoint=ckd,
+                            segment_steps=256)
+    assert out2["info"]["verdict"] == "steady"
+    assert out2["info"]["steps"] == out0["info"]["steps"]
+    assert out2["info"]["accepted"] == out0["info"]["accepted"]
+    np.testing.assert_allclose(out2["N"], out0["N"], rtol=0, atol=0)
+    np.testing.assert_allclose(out2["b"], out0["b"], rtol=0, atol=0)
+    # conclusive verdict removes the crash-insurance file
+    assert not os.path.exists(os.path.join(ckd, "ptc.npz"))
+
+    # a different mesh must refuse the checkpoint (fingerprint guard)
+    md3 = setup_slab.initialize(nx=12, ny=12)
+    md3.solve_steady(tol=1.0, max_steps=8, strict=False,
+                     checkpoint=str(tmp_path / "ck3"), segment_steps=8)
+    md4 = setup_slab.initialize(nx=16, ny=16)
+    with pytest.raises(ValueError, match="fingerprint"):
+        md4.solve_steady(tol=TOL, max_steps=16, strict=False,
+                         checkpoint=str(tmp_path / "ck3"))
+
+
+def test_polish_checkpoint_kill_and_resume(tmp_path, slab_steady):
+    """steady_polish (the SHMIP suite-S workhorse; A4 = 5,073 s single
+    shot) checkpoints every Newton segment: a wall-budget kill keeps
+    <ck>.npz and a fresh call resumes mid-march, reproducing the
+    uninterrupted run's result exactly."""
+    import os
+
+    from shakti_tpu.solve.monolithic import steady_polish
+
+    md, out = slab_steady
+    mesh, static, _, cfg = md.freeze()
+    # perturb the gap so the march genuinely needs multiple 2-iteration
+    # segments (from the PTC state exact-f64 Newton polishes to any tol
+    # in ~3 iterations — measured; the 40% log-noise costs it ~6)
+    rng = np.random.default_rng(3)
+    b = np.asarray(out["state"].b) * np.exp(
+        rng.normal(scale=0.4, size=out["state"].b.shape))
+    st = dataclasses.replace(out["state"], lag_op=None,
+                             b=jnp.asarray(b, out["state"].b.dtype))
+    kw = dict(tol=1e-9, max_newton=2, refreshes=2, patience=4)
+
+    s_ref, i_ref = steady_polish(mesh, static, md.params, st,
+                                 max_newton_total=60, **kw)
+    assert int(i_ref["newton"]) > 4         # multi-segment march
+
+    # "kill" via Newton-budget exhaustion after 2 segments
+    ck = str(tmp_path / "polish.npz")
+    s1, i1 = steady_polish(mesh, static, md.params, st,
+                           max_newton_total=4, checkpoint=ck, **kw)
+    assert os.path.exists(ck)               # killed mid-march: file kept
+    s2, i2 = steady_polish(mesh, static, md.params, st,
+                           max_newton_total=60, checkpoint=ck, **kw)
+    assert not os.path.exists(ck)           # completed: file removed
+    np.testing.assert_array_equal(np.asarray(s2.b), np.asarray(s_ref.b))
+    np.testing.assert_array_equal(np.asarray(s2.N), np.asarray(s_ref.N))
+    assert int(i2["newton"]) == int(i_ref["newton"])
+    assert bool(np.asarray(i2["converged"])) == bool(
+        np.asarray(i_ref["converged"]))
