@@ -606,7 +606,8 @@ def _quasi_static_N(g: Grid, b, m_w, inp, N, Re, N_lo, N_hi,
 def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
           dt_max=None, seed=0, noise=0.5, b0=0.01, warburton=True,
           max_rel=0.1, save_every=None, verbose=0,
-          b_init=None, N_init=None):
+          b_init=None, N_init=None, input_rate=None, sample_times=None,
+          sample_mask=None):
     """Pseudo-time march of the PHYSICAL gap dynamics — channelized
     regimes channelize (on this grid, with this discretization,
     independently of the FEM).
@@ -621,10 +622,30 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
     feedback is stiff in collapsing cells).  dt adapts on the LIVE-cell
     relative change: grows 1.3x when < max_rel/4, rejects/halves when
     > max_rel.  Returns y-mean window profiles + the 2D fields.
+
+    TIME-FORCED runs (the suite C/D transient oracle leg, VERDICT r4
+    item 3): ``input_rate(t) -> scalar or (ny, nx) array`` replaces the
+    constant case input with the instantaneous recharge field at
+    physical time t [s] (evaluated at the step start; the quasi-static
+    head system has no memory, so this is first-order in dt like the
+    gap ODE itself).  The march time axis is PHYSICAL time — dt_max
+    must resolve the forcing period (caller's responsibility).
+    ``sample_times`` (ascending, seconds): steps land EXACTLY on each
+    time (dt is clipped to the next sample boundary) and the mean of N
+    over ``sample_mask`` (default: the x in [30, 90] km window, all y)
+    is recorded; returned as ``samples`` (len(sample_times),).
     """
     g = Grid(nx, ny)
     rng = np.random.default_rng(seed)
-    inp = CASES_A[case]
+    inp0 = CASES_A[case] if input_rate is None else None
+    inp_at = ((lambda t: inp0) if input_rate is None else input_rate)
+    if sample_mask is None:
+        sample_mask = np.broadcast_to((g.x >= 30e3) & (g.x <= 90e3),
+                                      (ny, nx))
+    sample_times = (np.asarray(sample_times, dtype=float)
+                    if sample_times is not None else None)
+    samples = []        # window-mean N per sample time
+    samples_min = []    # window-min N per sample time (artesian detection)
     N = (np.array(N_init, dtype=float, copy=True) if N_init is not None
          else 0.5 * RHO_I * G_GRAV * g.zs)
     if N.ndim == 1:
@@ -659,6 +680,7 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
     N_lo = -0.25 * N_hi
     qmag = np.zeros((ny, nx))
     while t < T_end and steps < 500000:
+        inp = inp_at(t)
         # Warburton correction frozen over the step (a small diffusive
         # term of the previous step's melt field)
         m_w = _warburton(g, b, m) if warburton else 0.0
@@ -674,6 +696,10 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
             continue
         N_new, Re_new, m_new, qx, qy, qmag = qs
         dt_eff = dt
+        if sample_times is not None and len(samples) < sample_times.size:
+            # land exactly on the next sample time
+            dt_eff = min(dt_eff,
+                         max(sample_times[len(samples)] - t, min_dt))
         # SIGNED closure rate (db/dt = m/rho_i - A b N|N|^2, Sommers
         # eq. 2): under negative N (artesian, recharge into a collapsed
         # cell) creep OPENS the gap and reopens it
@@ -710,6 +736,10 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
         N, Re, b, m = N_new, Re_new, b_new, m_new
         t += dt_eff
         steps += 1
+        while (sample_times is not None and len(samples) < sample_times.size
+               and t >= sample_times[len(samples)] - 1e-3):
+            samples.append(float(N[sample_mask].mean()))
+            samples_min.append(float(N[sample_mask].min()))
         if verbose and steps % verbose == 0:
             print(f"  march {case}: step {steps} t={t / 3.1536e7:.3f} yr "
                   f"dt={dt_eff:.1f} rel={rel:.3f} "
@@ -727,7 +757,9 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
             "N2d": N, "b2d": b, "q2d": qmag,
             "yspread_N": float(np.max(N.std(axis=0))),
             "frac_b_floor": float((b <= 1.01 * B_FLOOR).mean()),
-            "steps": steps, "t_years": t / 3.1536e7, "dt_final": dt}
+            "steps": steps, "t_years": t / 3.1536e7, "dt_final": dt,
+            "samples": np.asarray(samples),
+            "samples_min": np.asarray(samples_min)}
 
 
 if __name__ == "__main__":

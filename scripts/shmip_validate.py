@@ -548,6 +548,135 @@ def suite_O(out, quick, force=False):
                   flush=True)
 
 
+def suite_OT(out, quick, force=False):
+    """Transient oracle legs (VERDICT r4 item 3): the FV oracle's march
+    mode under the SAME time-dependent forcing as suites C (diurnal
+    moulin scaling) and D (seasonal degree-day melt), cross-checking the
+    cycle statistics of the window-mean N against the framework — the
+    suites that were previously validated only by internal consistency
+    (monotonicity + conservation) gain an independent implementation on
+    a time-FORCED trajectory.  The FV march shares no code, grid, or
+    linear algebra with the FEM (oracle/shmip_fv2d.py module docstring);
+    agreement is expected at the tens-of-percent level (different
+    discretizations of a channelizing system), so the anchored claims
+    are: cycle AMPLITUDE within a factor ~2, monotone amplitude growth
+    with forcing strength, the winter/summer phase, and — for suite D —
+    the SIGN of the summer minimum (the artesian excursion, VERDICT r4
+    weak #4: the FV march permits N < 0 through its per-cell physical
+    band, so a negative summer window-mean is confirmed physics, not a
+    framework artifact)."""
+    import oracle.shmip_fv2d as fv2d
+
+    T_YR = 3.154e7              # make_forcing's degree-day default period
+    day_fw = T_YR / 365.0
+    YEAR_FV = 3.1536e7          # fv2d.march's own year unit
+
+    # ---- suite D leg: seasonal degree-day forcing, framework grid ----
+    ddf, lapse = 0.01 / 86400.0, 0.0075
+    base = shmip.CASES_A["A1"]
+    for case in ("D1", "D3", "D5"):
+        key = "OT_" + case
+        if (key in out and not force) or case not in out:
+            continue
+        dT = shmip.CASES_D[case]
+        nx, ny = (60, 12) if quick else (100, 20)
+        zs2 = np.broadcast_to(
+            fv2d.surface((np.arange(nx) + 0.5) * (fv2d.LX / nx))[None, :],
+            (ny, nx))
+
+        def inp(t, dT=dT, zs2=zs2):
+            temp = -5.0 - 16.0 * np.cos(2.0 * np.pi * t / T_YR) + dT
+            return base + np.maximum(0.0, ddf * temp - ddf * lapse * zs2)
+
+        spin = 1 if quick else 3
+        days = np.r_[10.0 * (np.arange(36) + 1), 365.0]
+        samp = spin * T_YR + day_fw * days
+        t0 = time.time()
+        m = fv2d.march(case, nx=nx, ny=ny,
+                       years=(spin + 1) * T_YR / YEAR_FV + 0.01,
+                       dt_max=day_fw / 2.0, seed=0, input_rate=inp,
+                       sample_times=samp)
+        s, smin = m["samples"], m["samples_min"]
+        fw = out[case]
+        amp = float((s.max() - s.min()) / 1e6)
+        met = {
+            "dT": dT, "grid": [nx, ny], "spin_years": spin,
+            "steps": m["steps"],
+            "N_winter_MPa": float(s.max() / 1e6),
+            "N_summer_min_MPa": float(s.min() / 1e6),
+            "N_amp_MPa": amp,
+            "N_cellmin_MPa": float(smin.min() / 1e6),
+            "fw_N_winter_MPa": fw["N_winter_MPa"],
+            "fw_N_summer_min_MPa": fw["N_summer_min_MPa"],
+            "fw_N_amp_MPa": fw["N_amp_MPa"],
+            "rel_amp_err": abs(amp - fw["N_amp_MPa"])
+            / max(abs(fw["N_amp_MPa"]), 1e-12),
+            "rel_winter_err": abs(float(s.max() / 1e6)
+                                  - fw["N_winter_MPa"])
+            / max(abs(fw["N_winter_MPa"]), 1e-12),
+            "summer_sign_agrees": bool(
+                (s.min() < 0) == (fw["N_summer_min_MPa"] < 0)),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        out[key] = met
+        _save_cache(out)
+        print(f"{key}: {json.dumps(met)}", flush=True)
+
+    # ---- suite C leg: diurnal scaling of the B5 moulin input ----
+    nx, ny = 60, 12                      # the framework's suite-C grid
+    dxc, dyc = fv2d.LX / nx, fv2d.LY / ny
+    field = np.full((ny, nx), base)
+    rate = shmip.B_TOTAL_M3S / shmip.CASES_B["B5"]
+    for (mx, my) in shmip.moulin_positions(shmip.CASES_B["B5"],
+                                           fv2d.LX, fv2d.LY):
+        field[min(int(my / dyc), ny - 1),
+              min(int(mx / dxc), nx - 1)] += rate / (dxc * dyc)
+    spin_state = None
+    for case in ("C2", "C4"):
+        key = "OT_" + case
+        if (key in out and not force) or case not in out:
+            continue
+        if spin_state is None:
+            t0 = time.time()
+            spin_years = 2.0 if quick else 3.0
+            sp = fv2d.march(case, nx=nx, ny=ny, years=spin_years,
+                            dt_max=2 * 86400.0, seed=0,
+                            input_rate=lambda t: field)
+            spin_state = (sp["b2d"], sp["N2d"])
+            print(f"OT_C spin: {sp['steps']} steps "
+                  f"{round(time.time() - t0, 1)} s", flush=True)
+        Ra = shmip.CASES_C[case]
+
+        def inp_c(t, Ra=Ra):
+            return field * max(0.0, 1.0 + Ra * np.sin(
+                2.0 * np.pi * t / shmip.DAY_S))
+
+        c_days = 6 if quick else 10
+        samp = (c_days - 2) * 86400.0 + 1800.0 * (np.arange(96) + 1)
+        t0 = time.time()
+        m = fv2d.march(case, nx=nx, ny=ny,
+                       years=c_days * 86400.0 / YEAR_FV + 1e-4,
+                       dt0=900.0, dt_max=1800.0, noise=0.0,
+                       b_init=spin_state[0], N_init=spin_state[1],
+                       seed=0, input_rate=inp_c, sample_times=samp)
+        s = m["samples"]
+        fw = out[case]
+        amp = float((s.max() - s.min()) / 1e6)
+        met = {
+            "Ra": Ra, "grid": [nx, ny], "steps": m["steps"],
+            "N_mean_cycle": float(s.mean()),
+            "N_amp_MPa": amp,
+            "fw_N_mean_cycle": fw["N_mean_cycle"],
+            "fw_N_amp_MPa": fw["N_amp_MPa"],
+            "rel_amp_err": abs(amp - fw["N_amp_MPa"])
+            / max(abs(fw["N_amp_MPa"]), 1e-12),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        out[key] = met
+        _save_cache(out)
+        print(f"{key}: {json.dumps(met)}", flush=True)
+
+
 def suite_B(out, quick, A5):
     A5_md, A5_state = A5
     xs_a5, prof_a5 = ymean_profile(A5_md, np.asarray(A5_state.N))
@@ -860,6 +989,53 @@ def build_md(out):
                      "self-organization relative to a branch the FV "
                      "scheme keeps."),
                 ]
+        if any(("OT_" + c) in out for c in
+               ("C2", "C4", "D1", "D3", "D5")):
+            lines += [
+                "",
+                "Transient legs — the FV march driven by the SAME",
+                "time-dependent forcing as suites C (diurnal moulin",
+                "scaling, final-2-cycle amplitude of window-mean N) and D",
+                "(seasonal degree-day melt, final-year winter max / summer",
+                "min / amplitude): the previously self-referential",
+                "time-FORCED suites cross-checked against an independent",
+                "implementation.  Expected agreement is tens of percent",
+                "(independent discretizations of a channelizing system);",
+                "the anchored claims are amplitude scale (factor ~2),",
+                "monotone growth with forcing strength, winter/summer",
+                "phase, and the suite-D summer-minimum SIGN (negative =",
+                "artesian excursion — the FV march permits N < 0 through",
+                "its per-cell physical band, independently confirming the",
+                "framework's N < 0 summers as physics, not artifact).",
+                "",
+                "| case | forcing | FV amp [MPa] | FEM amp [MPa] | "
+                "rel err | FV winter [MPa] | FEM winter [MPa] | "
+                "FV summer min [MPa] | FEM summer min [MPa] | "
+                "summer sign agrees |",
+                "|---|---|---|---|---|---|---|---|---|---|",
+            ]
+            for c in ("C2", "C4", "D1", "D3", "D5"):
+                k = "OT_" + c
+                if k not in out:
+                    continue
+                m = out[k]
+                frc = (f"Ra={m['Ra']}" if c.startswith("C")
+                       else f"dT={m['dT']:+.0f}")
+                if c.startswith("C"):
+                    lines.append(
+                        f"| {c} | {frc} | {m['N_amp_MPa']:.3f} "
+                        f"| {m['fw_N_amp_MPa']:.3f} "
+                        f"| {m['rel_amp_err']:.2f} | - | - | - | - | - |")
+                else:
+                    lines.append(
+                        f"| {c} | {frc} | {m['N_amp_MPa']:.3f} "
+                        f"| {m['fw_N_amp_MPa']:.3f} "
+                        f"| {m['rel_amp_err']:.2f} "
+                        f"| {m['N_winter_MPa']:.3f} "
+                        f"| {m['fw_N_winter_MPa']:.3f} "
+                        f"| {m['N_summer_min_MPa']:.3f} "
+                        f"| {m['fw_N_summer_min_MPa']:.3f} "
+                        f"| {'yes' if m['summer_sign_agrees'] else 'NO'} |")
     if "B5" in out:
         lines += [
             "",
@@ -1067,6 +1243,9 @@ def main(quick=False, suites="ABCDEF", force=False, cases=None,
                 budget_override=budget_override)
     if "O" in suites:
         suite_O(out, quick, force=force)
+    if "T" in suites:
+        # transient oracle legs (needs suites C/D framework rows cached)
+        suite_OT(out, quick, force=force)
     # persist the (hours-of-compute) results cache (merge-by-dirty-keys;
     # concurrent invocations covering other cases are not clobbered)
     _save_cache(out)

@@ -190,3 +190,36 @@ def test_fv_column_newton_matches_1d_shooting_oracle():
         # measured ~2e-5 / ~5e-5 at nx=200 (discretization error)
         assert relN < 5e-4, (case, relN)
         assert relb < 1e-3, (case, relb)
+
+
+def test_fv_march_time_forcing_and_sampling():
+    """The march's transient leg (suite OT): a callable ``input_rate``
+    with constant value must reproduce the constant-input march exactly
+    (same code path, no dt clipping without sample_times), and a
+    sinusoidally forced march must (a) record window-mean N at exactly
+    the requested sample times and (b) respond — the sampled series
+    carries a nonzero oscillation that grows with forcing amplitude."""
+    import oracle.shmip_fv2d as fv
+    import numpy as np
+
+    u = fv.steady_column_newton("A5", nx=30)
+    kw = dict(nx=30, ny=6, years=10 / 365.25, noise=0.0,
+              b_init=u["b"], N_init=u["N"], seed=0)
+    m0 = fv.march("A5", **kw)
+    m1 = fv.march("A5", input_rate=lambda t: fv.CASES_A["A5"], **kw)
+    np.testing.assert_array_equal(m0["N2d"], m1["N2d"])
+    np.testing.assert_array_equal(m0["b2d"], m1["b2d"])
+
+    day = 86400.0
+    samp = 5 * day + 0.25 * day * (np.arange(20) + 1)
+    amps = {}
+    for ra in (0.5, 1.0):
+        m = fv.march("A5", input_rate=lambda t, ra=ra: fv.CASES_A["A5"]
+                     * (1.0 + ra * np.sin(2 * np.pi * t / day)),
+                     sample_times=samp, dt0=900.0, dt_max=1800.0, **kw)
+        assert m["samples"].shape == (20,)
+        assert m["samples_min"].shape == (20,)
+        assert np.all(m["samples_min"] <= m["samples"])
+        amps[ra] = float(m["samples"].max() - m["samples"].min())
+    assert amps[0.5] > 0.0
+    assert amps[1.0] > amps[0.5]
