@@ -78,13 +78,35 @@ def surface(x):
 
 
 class Grid:
-    def __init__(self, nx=100, ny=20):
+    """Structured cell grid.  Default (no keyword args) is the suite-A
+    100x20 km rectangle with the SHMIP sqrt surface and a flat z = 0 bed
+    — bit-identical to the original suite-A-only grid.  The keyword args
+    generalize it to the suite-E valley (VERDICT r4 item 4): 2D surface
+    and bed elevation, an active-cell footprint ``mask`` (faces into
+    inactive cells are no-flux; inactive cells are held at N = 0), and a
+    per-row ghost head ``margin_h`` at the x = 0 margin faces (p_w = 0
+    there means h = bed elevation; the suite-A bed is 0)."""
+
+    def __init__(self, nx=100, ny=20, lx=LX, ly=LY, y0=0.0,
+                 zs=None, zb=None, mask=None, margin_h=None):
         self.nx, self.ny = nx, ny
-        self.dx, self.dy = LX / nx, LY / ny
+        self.lx, self.ly = lx, ly
+        self.dx, self.dy = lx / nx, ly / ny
         self.x = (np.arange(nx) + 0.5) * self.dx          # cell centers
-        self.y = (np.arange(ny) + 0.5) * self.dy
-        self.zs = np.broadcast_to(surface(self.x)[None, :], (ny, nx)).copy()
-        self.h0 = (RHO_I / RHO_W) * self.zs               # head at N = 0
+        self.y = y0 + (np.arange(ny) + 0.5) * self.dy
+        if zs is None:
+            zs = np.broadcast_to(surface(self.x)[None, :], (ny, nx))
+        self.zs = np.array(zs, dtype=float)
+        self.zb = (np.zeros((ny, nx)) if zb is None
+                   else np.array(zb, dtype=float))
+        self.thick = np.maximum(self.zs - self.zb, 0.0)
+        # head at N = 0 (flotation): h = z_b + (rho_i/rho_w) H; the
+        # suite-A bed is 0, reducing to the original (rho_i/rho_w) z_s
+        self.h0 = self.zb + (RHO_I / RHO_W) * self.thick
+        self.mask = (np.ones((ny, nx), dtype=bool) if mask is None
+                     else np.asarray(mask, dtype=bool))
+        self.margin_h = (np.zeros(ny) if margin_h is None
+                         else np.asarray(margin_h, float) * np.ones(ny))
         self.area = self.dx * self.dy
         self.n = nx * ny
 
@@ -133,12 +155,17 @@ def _solve_N(g: Grid, T, N_lin_coef, rhs_cells):
             = area * rhs_i + sum_f T_f (h0_nb - h0_i) len_f / d
 
     with a_f = T_f len_f / (d rho_w g); the margin (x=0) face uses a
-    half-cell ghost at h = 0 (the SHMIP zero-water-pressure margin).
+    half-cell ghost at h = margin_h (the SHMIP zero-water-pressure
+    margin: h = bed elevation there; 0 on the suite-A flat bed).
+    Inactive cells (outside ``g.mask``) have T forced to 0 (harmonic
+    face transmissivities then vanish, making every face into them
+    no-flux) and are pinned to N = 0 by an identity row.
     """
     nx, ny = g.nx, g.ny
     n = g.n
+    T = np.where(g.mask, T, 0.0)
     rows, cols, vals = [], [], []
-    rhs = g.area * rhs_cells.ravel().copy()
+    rhs = g.area * np.broadcast_to(rhs_cells, (ny, nx)).ravel().copy()
 
     def add(r, c, v):
         rows.append(r); cols.append(c); vals.append(v)
@@ -159,24 +186,41 @@ def _solve_N(g: Grid, T, N_lin_coef, rhs_cells):
     np.add.at(rhs, li, srcv)
     np.add.at(rhs, ri, -srcv)
 
-    # y-faces between (j, i) and (j+1, i): h0 is y-uniform -> no src term
+    # y-faces between (j, i) and (j+1, i): the suite-A h0 is y-uniform
+    # (src term exactly 0); the valley bed varies with y, so the same
+    # flux-splitting src as the x-faces applies
     Tf = _harmonic(T[:-1, :], T[1:, :])
     af = (Tf * g.dx / (g.dy * RHO_W * G_GRAV)).ravel()
+    dh0 = g.h0[1:, :] - g.h0[:-1, :]
+    srcy = Tf * dh0 * g.dx / g.dy
     lo, hi = ids[:-1, :].ravel(), ids[1:, :].ravel()
     for (rr, cc, vv) in ((lo, hi, af), (hi, lo, af),
                          (lo, lo, -af), (hi, hi, -af)):
         add(rr, cc, vv)
+    np.add.at(rhs, lo, srcy.ravel())
+    np.add.at(rhs, hi, -srcy.ravel())
 
-    # margin ghost faces at x = 0 (column i = 0): h_ghost = 0, d = dx/2
+    # margin ghost faces at x = 0 (column i = 0): h_ghost = margin_h,
+    # d = dx/2 (T is already 0 on inactive rows)
     Tg = T[:, 0]
     ag = Tg * g.dy / ((g.dx / 2.0) * RHO_W * G_GRAV)
     gi = ids[:, 0].ravel()
     add(gi, gi, -ag)
-    # flux term src: T_g (h0_ghost - h0_i) len / d with h0_ghost = 0
-    np.add.at(rhs, gi, Tg * (0.0 - g.h0[:, 0]) * g.dy / (g.dx / 2.0))
+    # flux term src: T_g (h0_ghost - h0_i) len / d
+    np.add.at(rhs, gi,
+              Tg * (g.margin_h - g.h0[:, 0]) * g.dy / (g.dx / 2.0))
 
-    # linearized closure diagonal
-    add(ids.ravel(), ids.ravel(), -g.area * N_lin_coef.ravel())
+    # linearized closure diagonal (active cells only)
+    add(ids.ravel(), ids.ravel(),
+        -g.area * np.where(g.mask, N_lin_coef, 0.0).ravel())
+
+    # inactive cells: identity rows pinning N = 0 (no face couples to
+    # them — T was zeroed — so this keeps the matrix nonsingular)
+    inact = ~g.mask.ravel()
+    if inact.any():
+        ii = ids.ravel()[inact]
+        add(ii, ii, -np.ones(ii.size))
+        rhs[inact] = 0.0
 
     A = sp.csr_matrix((np.concatenate(vals),
                        (np.concatenate(rows), np.concatenate(cols))),
@@ -186,18 +230,33 @@ def _solve_N(g: Grid, T, N_lin_coef, rhs_cells):
 
 
 def _fields_from_N(g: Grid, N, T):
-    """h, cell-centered grad h (margin ghost at h=0), q = -T grad h,
-    |q|, dissipation T |grad h|^2."""
+    """h, cell-centered grad h, q = -T grad h, |q|, dissipation
+    T |grad h|^2.  Mask-aware one-sided differencing: central where both
+    neighbors are active, one-sided where only one is, 0 where neither —
+    on an all-active grid this reproduces the original stencil exactly
+    (central interior, ghost-mirrored margin column, one-sided far
+    edges).  The x = 0 margin ghost mirrors h through ``margin_h`` at
+    the face (h = 0 there on the suite-A flat bed)."""
     h = g.h0 - N / (RHO_W * G_GRAV)
-    gx = np.zeros_like(h)
-    gx[:, 1:-1] = (h[:, 2:] - h[:, :-2]) / (2 * g.dx)
-    gx[:, 0] = (h[:, 1] - (-h[:, 0])) / (2 * g.dx)   # ghost h(-1) = -h(0) => h=0 at face
-    gx[:, -1] = (h[:, -1] - h[:, -2]) / g.dx
-    gy = np.zeros_like(h)
-    if h.shape[0] > 1:
-        gy[1:-1, :] = (h[2:, :] - h[:-2, :]) / (2 * g.dy)
-        gy[0, :] = (h[1, :] - h[0, :]) / g.dy
-        gy[-1, :] = (h[-1, :] - h[-2, :]) / g.dy
+    act = g.mask
+    aL = np.zeros_like(act); aL[:, 1:] = act[:, :-1]
+    aR = np.zeros_like(act); aR[:, :-1] = act[:, 1:]
+    hL = np.zeros_like(h); hL[:, 1:] = h[:, :-1]
+    hR = np.zeros_like(h); hR[:, :-1] = h[:, 1:]
+    hL[:, 0] = 2.0 * g.margin_h - h[:, 0]            # margin face ghost
+    aL[:, 0] = act[:, 0]
+    gx = np.where(aL & aR, (hR - hL) / (2 * g.dx),
+                  np.where(aR, (hR - h) / g.dx,
+                           np.where(aL, (h - hL) / g.dx, 0.0)))
+    aD = np.zeros_like(act); aD[1:, :] = act[:-1, :]
+    aU = np.zeros_like(act); aU[:-1, :] = act[1:, :]
+    hD = np.zeros_like(h); hD[1:, :] = h[:-1, :]
+    hU = np.zeros_like(h); hU[:-1, :] = h[1:, :]
+    gy = np.where(aD & aU, (hU - hD) / (2 * g.dy),
+                  np.where(aU, (hU - h) / g.dy,
+                           np.where(aD, (h - hD) / g.dy, 0.0)))
+    gx = np.where(act, gx, 0.0)
+    gy = np.where(act, gy, 0.0)
     qx, qy = -T * gx, -T * gy
     qmag = np.hypot(qx, qy)
     diss = RHO_W * G_GRAV * T * (gx * gx + gy * gy)
@@ -607,7 +666,8 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
           dt_max=None, seed=0, noise=0.5, b0=0.01, warburton=True,
           max_rel=0.1, save_every=None, verbose=0,
           b_init=None, N_init=None, input_rate=None, sample_times=None,
-          sample_mask=None):
+          sample_mask=None, grid=None, b_cap=None,
+          steady_exit_rate=None, rel_pctile=100.0):
     """Pseudo-time march of the PHYSICAL gap dynamics — channelized
     regimes channelize (on this grid, with this discretization,
     independently of the FEM).
@@ -634,20 +694,31 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
     time (dt is clipped to the next sample boundary) and the mean of N
     over ``sample_mask`` (default: the x in [30, 90] km window, all y)
     is recorded; returned as ``samples`` (len(sample_times),).
+
+    VALLEY runs (the suite E oracle leg): pass ``grid`` (a masked
+    variable-geometry Grid, see valley_grid), ``b_cap`` (scalar or
+    per-cell gap cap — the framework's VALLEY_B_CAP regularization,
+    here a knob so its influence on the certified interior state can be
+    measured), and ``steady_exit_rate`` (1/yr: exit once the worst
+    live-cell relative gap rate |db/dt|/b falls below it, after at
+    least 10% of the horizon — steady-forcing runs stop at steady
+    instead of burning the full horizon).
     """
-    g = Grid(nx, ny)
+    g = grid if grid is not None else Grid(nx, ny)
+    ny, nx = g.ny, g.nx
     rng = np.random.default_rng(seed)
     inp0 = CASES_A[case] if input_rate is None else None
     inp_at = ((lambda t: inp0) if input_rate is None else input_rate)
     if sample_mask is None:
         sample_mask = np.broadcast_to((g.x >= 30e3) & (g.x <= 90e3),
-                                      (ny, nx))
+                                      (ny, nx)) if grid is None else g.mask
+    sample_mask = sample_mask & g.mask
     sample_times = (np.asarray(sample_times, dtype=float)
                     if sample_times is not None else None)
     samples = []        # window-mean N per sample time
     samples_min = []    # window-min N per sample time (artesian detection)
     N = (np.array(N_init, dtype=float, copy=True) if N_init is not None
-         else 0.5 * RHO_I * G_GRAV * g.zs)
+         else 0.5 * RHO_I * G_GRAV * g.thick)
     if N.ndim == 1:
         N = np.tile(N, (ny, 1))
     b = (np.array(b_init, dtype=float, copy=True) if b_init is not None
@@ -675,15 +746,17 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
     # worst closure rate is A p_i^3 ~ 5e-3/s).  The N-solve is
     # dt-INDEPENDENT, so step rejection cannot cure a wild solve — the
     # clip (plus the relative conditioning floor on the closure
-    # coefficient) must.
-    N_hi = RHO_I * G_GRAV * g.zs
+    # coefficient) must.  Overburden is rho_i g H (H = thickness; the
+    # suite-A bed is 0 so this is the original rho_i g z_s there).
+    N_hi = RHO_I * G_GRAV * g.thick
     N_lo = -0.25 * N_hi
     qmag = np.zeros((ny, nx))
+    rate_b_yr = float("inf")
     while t < T_end and steps < 500000:
         inp = inp_at(t)
         # Warburton correction frozen over the step (a small diffusive
-        # term of the previous step's melt field)
-        m_w = _warburton(g, b, m) if warburton else 0.0
+        # term of the previous step's melt field; masked to active cells)
+        m_w = _warburton(g, b, m) * g.mask if warburton else 0.0
         qs = _quasi_static_N(g, b, m_w, inp, N, Re, N_lo, N_hi)
         if qs is None:
             rejects += 1
@@ -714,9 +787,32 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
             grow = m_new / (RHO_I * np.maximum(b, B_FLOOR)) - cr
             b_new = b * np.exp(np.clip(dt_eff * grow, -3.0, 3.0))
             b_new = np.clip(b_new, B_FLOOR, 1e3)
-        live = b > 1.01 * B_FLOOR
-        rel = (float(np.max(np.abs(b_new[live] - b[live]) / b[live]))
-               if live.any() else 0.0)
+        if b_cap is not None:
+            b_new = np.minimum(b_new, b_cap)
+        b_new = np.where(g.mask, b_new, b)       # inactive cells frozen
+        # step metric excludes clip-pinned cells (the module-docstring
+        # lesson, extended to the cap): a melt-runaway cell LANDING on
+        # the cap is where any dt would put it — rel-limiting its climb
+        # pins dt at hours forever (measured on the valley: worst-rel
+        # cells were all capped/landing, grow ~5e3-1.5e4 /yr)
+        live = (b > 1.01 * B_FLOOR) & g.mask
+        if b_cap is not None:
+            live &= b_new < np.asarray(b_cap) * (1.0 - 1e-9)
+        # rel_pctile < 100: control dt on the given percentile of the
+        # live-cell relative change instead of the max — a small
+        # population of cells flickering about the cap boundary (their
+        # steady state is a limit cycle AT the cap, reached in one
+        # e^+-3-bounded exponential-integrator jump regardless of dt)
+        # otherwise pins dt at minutes forever (measured on the valley:
+        # dt sawtoothed 60 <-> 400 s indefinitely).  The integrator is
+        # unconditionally stable and positive, so overshooting the
+        # tolerated tail is safe; the bulk field stays rel-controlled.
+        if live.any():
+            relf = np.abs(b_new[live] - b[live]) / b[live]
+            rel = float(np.max(relf) if rel_pctile >= 100.0
+                        else np.percentile(relf, rel_pctile))
+        else:
+            rel = 0.0
         bad = not np.all(np.isfinite(b_new))
         if bad or (rel > max_rel and dt_eff > min_dt):
             rejects += 1
@@ -736,6 +832,10 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
         N, Re, b, m = N_new, Re_new, b_new, m_new
         t += dt_eff
         steps += 1
+        rate_b_yr = rel / max(dt_eff, 1e-300) * 3.1536e7
+        if (steady_exit_rate is not None and t > 0.1 * T_end
+                and rate_b_yr < steady_exit_rate):
+            break
         while (sample_times is not None and len(samples) < sample_times.size
                and t >= sample_times[len(samples)] - 1e-3):
             samples.append(float(N[sample_mask].mean()))
@@ -754,12 +854,116 @@ def march(case: str, nx=100, ny=20, years=10.0, dt0=3600.0,
         else:
             dt = min(dt_eff * 1.3, dt_max)
     return {"x": g.x, "N": N.mean(axis=0), "b": b.mean(axis=0),
-            "N2d": N, "b2d": b, "q2d": qmag,
+            "N2d": N, "b2d": b, "q2d": qmag, "grid": g,
             "yspread_N": float(np.max(N.std(axis=0))),
-            "frac_b_floor": float((b <= 1.01 * B_FLOOR).mean()),
+            "frac_b_floor": float((b[g.mask] <= 1.01 * B_FLOOR).mean()),
+            "rate_b_yr": float(rate_b_yr),
             "steps": steps, "t_years": t / 3.1536e7, "dt_final": dt,
             "samples": np.asarray(samples),
             "samples_min": np.asarray(samples_min)}
+
+
+# --------------------------------------------------------------- valley
+# SHMIP suite-E 'bench' valley geometry (de Fleurian et al. 2018 §3.2) —
+# the published spec, reimplemented locally so the oracle keeps sharing
+# no CODE with the framework (setups/setup_shmip.py implements the same
+# published formulas; only the spec is common, like the constants).
+
+VALLEY_LEN = 6e3
+PARA_BENCH = 0.05
+E_INPUT = 1.158e-6          # [m/s] suite-E steady distributed input
+
+
+def valley_surface(x):
+    return 100.0 * (x + 200.0) ** 0.25 + x / 60.0 - (2e10) ** 0.25 + 1.0
+
+
+def _valley_f(x, para):
+    s6 = valley_surface(VALLEY_LEN)
+    return ((s6 - para * VALLEY_LEN) / VALLEY_LEN ** 2) * x ** 2 + para * x
+
+
+def valley_bed(x, y, para):
+    s = valley_surface(x)
+    gy = 0.5e-6 * np.abs(y) ** 3
+    h = ((-4.5 * x / VALLEY_LEN + 5.0) * (s - _valley_f(x, para))
+         / (s - _valley_f(x, PARA_BENCH) + 1e-12))
+    return _valley_f(x, para) + gy * h
+
+
+def valley_half_width(x):
+    s = valley_surface(x)
+    thick = np.maximum(s - _valley_f(x, PARA_BENCH), 0.0)
+    shape = np.maximum(-4.5 * x / VALLEY_LEN + 5.0, 1e-12)
+    return (thick / (0.5e-6 * shape)) ** (1.0 / 3.0)
+
+
+def valley_grid(para, nx=100, ny=24):
+    """Masked FV grid of the suite-E valley at bed parameter ``para``.
+    The footprint (half-width where thickness -> 0) is para-independent
+    by construction — the suite-E design: only the bed deepens."""
+    dx = VALLEY_LEN / nx
+    x = (np.arange(nx) + 0.5) * dx
+    w = valley_half_width(x)
+    ly = 2.0 * float(w.max()) * 1.02
+    y = -ly / 2.0 + (np.arange(ny) + 0.5) * (ly / ny)
+    X, Y = np.meshgrid(x, y)
+    zb = valley_bed(X, Y, para)
+    zs = np.maximum(valley_surface(X), zb + 1.0)   # >= 1 m of ice inside
+    mask = np.abs(Y) <= w[None, :]
+    # p_w = 0 at the x = 0 terminus face -> ghost head = the bed there
+    margin_h = valley_bed(0.0, y, para)
+    return Grid(nx, ny, lx=VALLEY_LEN, ly=ly, y0=-ly / 2.0,
+                zs=zs, zb=zb, mask=mask, margin_h=margin_h)
+
+
+def valley_steady(para, nx=100, ny=24, years=4.0, b_cap=0.5, seed=0,
+                  steady_exit_rate=0.05, max_rel=0.1, verbose=0):
+    """March the valley to its steady state under the suite-E constant
+    distributed input and report the suite-E comparison metrics: mean N
+    over the footprint, mean N and b in the overdeepened-trough band
+    (x in [2, 4] km — the same band scripts/shmip_validate.py reduces
+    the framework state over), and the terminus discharge vs source
+    budget.  ``b_cap``: per-cell min(ice column, b_cap) like the
+    framework's VALLEY_B_CAP regularization (setups/setup_shmip.py) —
+    pass a different value to measure the cap's influence on the
+    certified interior state (VERDICT r4 item 4)."""
+    g = valley_grid(para, nx, ny)
+    cap = np.maximum(np.minimum(g.thick, b_cap), 1e-3)
+    m = march(f"E(para={para})", years=years, dt0=3600.0, seed=seed,
+              noise=0.1, b0=0.01, max_rel=max_rel, verbose=verbose,
+              dt_max=6 * 3600.0, rel_pctile=98.0,
+              input_rate=lambda t: E_INPUT, grid=g, b_cap=cap,
+              steady_exit_rate=steady_exit_rate)
+    N2, b2, q2 = m["N2d"], m["b2d"], m["q2d"]
+    act = g.mask
+    trough = act & (g.x >= 2e3)[None, :] & (g.x <= 4e3)[None, :]
+    # terminus discharge through the margin ghost faces vs total source
+    # (steady balance check; c_m melt exchange is ~1e-3 of the input)
+    h = g.h0 - N2 / (RHO_W * G_GRAV)
+    # quadratic-root face flux at the margin ghost faces (the same
+    # closure the march's quasi-static solve enforces)
+    kf = np.where(act[:, 0],
+                  (np.maximum(b2[:, 0], B_FLOOR) ** 3) * G_GRAV
+                  / (12.0 * NU), 0.0)
+    dhf = (h[:, 0] - g.margin_h) / (g.dx / 2.0)
+    s = kf * np.abs(dhf)
+    qf = 2.0 * s / (1.0 + np.sqrt(1.0 + 4.0 * (OMEGA / NU) * s))
+    Q_out = float(np.sum(qf * np.sign(dhf) * g.dy))
+    Q_src = float(E_INPUT * act.sum() * g.area)
+    return {"para": para, "grid_nx_ny": [nx, ny],
+            "N_mean_MPa": float(N2[act].mean() / 1e6),
+            "N_trough_MPa": float(N2[trough].mean() / 1e6),
+            "b_trough_mm": float(b2[trough].mean() * 1e3),
+            "frac_cap": float((b2[act] >= cap[act] - 1e-12).mean()),
+            "Q_out": Q_out, "Q_src": Q_src,
+            "imbalance": abs(Q_out - Q_src) / max(abs(Q_src), 1e-30),
+            "steps": m["steps"], "t_years": m["t_years"],
+            "rate_b_yr": m["rate_b_yr"],
+            # 2D fields for cross-run comparisons (cap sensitivity);
+            # callers caching to JSON must strip these
+            "N2d": N2, "b2d": b2, "mask": act, "thick": g.thick,
+            "xc": g.x}
 
 
 if __name__ == "__main__":

@@ -34,9 +34,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from shakti_tpu.utils.backend import (ensure_backend,  # noqa: E402
+from shakti_tpu.utils.backend import (enable_compile_cache,  # noqa: E402
+                                      ensure_backend,
                                       honor_platforms_env)
 
+enable_compile_cache()          # honors SHAKTI_COMPILE_CACHE (retries on
+                                # a wedged tunnel then skip the ~5-10 min
+                                # per-phase 1M recompiles)
 if "--allow-cpu" in sys.argv:
     # JAX_PLATFORMS env alone is ignored on this host (axon plugin
     # overrides it); pin via jax.config so a CPU smoke run never becomes

@@ -294,7 +294,8 @@ def solve(md, *, resume: bool = False, progress: bool = True):
         if not primary:
             return
         with open(os.path.join(rdir, "log.csv"), "w") as f:
-            f.write("step,t,newton_mean,newton_max,cg_mean,rnorm_max\n")
+            f.write("step,t,newton_mean,newton_max,cg_mean,rnorm_max,"
+                    "N_min\n")
             for r in log_rows:
                 f.write(",".join(str(v) for v in r) + "\n")
 
@@ -465,8 +466,15 @@ def solve(md, *, resume: bool = False, progress: bool = True):
                          for k in range(4))
             for k, v in zip(("N", "b", "qx", "qy"), vals):
                 hist[k][row] = v[unp]
+        # N_min: the artesian flag (SHMIP.md artesian note) — SHAKTI's
+        # signed closure permits transient N < 0 (water pressure above
+        # overburden; reference constitutive.py:29-31 N|N|^{n-1}); the
+        # per-save minimum makes artesian excursions visible in the run
+        # log instead of silent
         log_rows.append((last, float(timesteps[last]), float(ni.mean()),
-                         int(ni.max()), float(ci.mean()), float(rn.max())))
+                         int(ni.max()), float(ci.mean()), float(rn.max()),
+                         float(vals[0].min()) if hist is not None
+                         else float("nan")))
         row += 1
         if io_on and ck_state is not None and _ck_due(i0, last, nt_check):
             write_histories()

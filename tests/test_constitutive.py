@@ -77,6 +77,25 @@ def test_closure_sign_and_value():
     assert float(C) == pytest.approx(expected, rel=1e-12)
 
 
+def test_artesian_opening_feedback():
+    """N < 0 (artesian: water pressure above overburden — suites D/F
+    reach window-mean N of -0.76 MPa, SHMIP.md artesian note) must OPEN
+    the gap: the SIGNED closure N |N|^(n-1) (reference
+    constitutive.py:29-31) is the negative feedback that drains the
+    over-pressurized sheet.  Pins the law's oddness, the rate sign, and
+    the semi-implicit gap update the steady path uses."""
+    b = jnp.asarray(1e-3)
+    C_neg = float(law.closure(b, jnp.asarray(-5e5), P))
+    C_pos = float(law.closure(b, jnp.asarray(5e5), P))
+    assert C_neg == pytest.approx(-C_pos, rel=1e-14)
+    assert C_neg < 0.0 < C_pos
+    cr = float(law.closure_rate(jnp.asarray(-5e5), P))
+    assert cr < 0.0
+    # backward-Euler in b (linear closure): negative rate grows the gap
+    dt = 0.1 / abs(cr)
+    assert float(b) / (1.0 + dt * cr) > float(b)
+
+
 def test_background_potential():
     z_b, z_s = jnp.asarray(-50.0), jnp.asarray(950.0)
     phi = law.background_potential(z_b, z_s, P)

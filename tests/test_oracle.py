@@ -223,3 +223,39 @@ def test_fv_march_time_forcing_and_sampling():
         amps[ra] = float(m["samples"].max() - m["samples"].min())
     assert amps[0.5] > 0.0
     assert amps[1.0] > amps[0.5]
+
+
+def test_fv_valley_grid_and_march():
+    """Valley oracle leg (suite OV) fast invariants: the masked FV grid
+    reproduces the suite-E design (footprint para-independent, bed
+    deepening confined to the trough, footprint area matching the
+    framework's ~5.7e6 m^2 75 m mesh), the mask/margin machinery keeps a
+    short march finite and inside the physical band, and inactive cells
+    never move."""
+    import oracle.shmip_fv2d as fv
+    import numpy as np
+
+    g1 = fv.valley_grid(0.05, nx=40, ny=10)   # E1 (bench)
+    g5 = fv.valley_grid(-0.7, nx=40, ny=10)   # E5 (deepest trough)
+    # footprint is para-independent by construction
+    np.testing.assert_array_equal(g1.mask, g5.mask)
+    area = g1.mask.sum() * g1.area
+    assert abs(area - 5.73e6) / 5.73e6 < 0.05
+    # the overdeepening: E5 bed sits BELOW E1's in the trough band,
+    # surface unchanged
+    band = g1.mask & (g1.x >= 2e3)[None, :] & (g1.x <= 4e3)[None, :]
+    assert (g5.zb[band] < g1.zb[band] - 1.0).mean() > 0.9
+    # short march: finite, N inside the per-cell physical band,
+    # inactive cells frozen
+    cap = np.maximum(np.minimum(g5.thick, 0.5), 1e-3)
+    b_marker = 0.123
+    b0 = np.where(g5.mask, 0.01, b_marker)
+    m = fv.march("E5", grid=g5, years=2.0 / 365.25, dt0=60.0, noise=0.0,
+                 b_init=b0, input_rate=lambda t: fv.E_INPUT, b_cap=cap)
+    assert np.all(np.isfinite(m["N2d"]))
+    pi = fv.RHO_I * fv.G_GRAV * g5.thick
+    assert np.all(m["N2d"][g5.mask] <= pi[g5.mask] + 1e-6)
+    assert np.all(m["N2d"][g5.mask] >= -0.25 * pi[g5.mask] - 1e-6)
+    assert np.all(m["N2d"][~g5.mask] == 0.0)
+    assert np.all(m["b2d"][~g5.mask] == b_marker)
+    assert np.all(m["b2d"][g5.mask] <= cap[g5.mask] + 1e-12)
