@@ -918,7 +918,8 @@ def valley_grid(para, nx=100, ny=24):
 
 
 def valley_steady(para, nx=100, ny=24, years=4.0, b_cap=0.5, seed=0,
-                  steady_exit_rate=0.05, max_rel=0.1, verbose=0):
+                  steady_exit_rate=0.05, max_rel=0.1, verbose=0,
+                  x0=None):
     """March the valley to its steady state under the suite-E constant
     distributed input and report the suite-E comparison metrics: mean N
     over the footprint, mean N and b in the overdeepened-trough band
@@ -927,11 +928,17 @@ def valley_steady(para, nx=100, ny=24, years=4.0, b_cap=0.5, seed=0,
     budget.  ``b_cap``: per-cell min(ice column, b_cap) like the
     framework's VALLEY_B_CAP regularization (setups/setup_shmip.py) —
     pass a different value to measure the cap's influence on the
-    certified interior state (VERDICT r4 item 4)."""
+    certified interior state (VERDICT r4 item 4).  ``x0``: optional
+    (N2d, b2d) warm start (ladder continuation — the footprint is
+    para-independent, so a neighboring case's state skips the violent
+    cold start, which is most of the march's steps)."""
     g = valley_grid(para, nx, ny)
     cap = np.maximum(np.minimum(g.thick, b_cap), 1e-3)
     m = march(f"E(para={para})", years=years, dt0=3600.0, seed=seed,
-              noise=0.1, b0=0.01, max_rel=max_rel, verbose=verbose,
+              noise=0.0 if x0 is not None else 0.1, b0=0.01,
+              N_init=None if x0 is None else x0[0],
+              b_init=None if x0 is None else np.minimum(x0[1], cap),
+              max_rel=max_rel, verbose=verbose,
               dt_max=6 * 3600.0, rel_pctile=98.0,
               input_rate=lambda t: E_INPUT, grid=g, b_cap=cap,
               steady_exit_rate=steady_exit_rate)

@@ -134,6 +134,31 @@ def main():
     geom = (c * 3 * 2 + c + c * 3) * f4   # grads + area + cells
     inc = (n * KI * 2 + n) * f4           # inc_map + inc_mask + out write
     MB = 1.0 / 1e6
+    # ---------------- gather-issue model ---------------------------------
+    # XLA TPU serializes fine-grained gathers/scatters; measured on THIS
+    # chip (scripts/PROFILE_bgather.json, r3): element gathers ~1.4 ns
+    # per gathered element, scatter-adds ~7 ns/element.  For the
+    # gather/scatter-built phases the speed of light is that issue rate,
+    # not HBM bandwidth — phases near sol_issue_ms are done even when
+    # far below hbm peak.
+    GATHER_NS, SCATTER_NS = 1.4, 7.0
+    # per-phase gathered-element counts (indexed loads only; contiguous
+    # streams ride the bytes model): residual = cell->node N gather (3/c)
+    # + stacked incidence gather of cell contributions (KI/node);
+    # jacobian = 1 primal + 3 tangent passes of the same pattern; fold =
+    # 9c block-slot scatter (as stacked gather 9c + index map); coarse =
+    # the same fold pattern into the m x m dense Galerkin block.
+    gathers = {
+        "residual_1": c * 3 + n * KI,
+        "residual_multi3": 3 * (c * 3 + n * KI),
+        "element_jacobian": 4 * (c * 3) + n * KI,
+        "fold": 9 * c,
+        "coarse_inverse": 9 * c,
+        "precompute": 5 * (c * 3) + n * KI,
+        "matvec": nnzb * B,      # x gathered per block-column
+        "cg_iter": nnzb * B,
+        "pc_apply": 0,
+    }
     model = {
         "matvec": (nnzb * B * B + 2 * nnzb * B + NB * B + 2 * nnzb) * f4,
         "pc_apply": (4 * n + m * m) * f4,
@@ -174,12 +199,23 @@ def main():
                        achieved_GBps=round(gbps, 1),
                        pct_peak=round(100 * gbps / peak, 1),
                        sol_ms=round(by / 1e9 / peak * 1e3, 3))
+        gel = gathers.get(name)
+        if gel is not None:
+            # issue-rate speed of light: gathers at the measured ns/el
+            # plus the phase's contiguous bytes at hbm peak
+            sol_issue = (gel * GATHER_NS / 1e6
+                         + (by or 0) / 1e9 / peak * 1e3)
+            ent.update(gather_Mel=round(gel / 1e6, 1),
+                       sol_issue_ms=round(sol_issue, 3),
+                       pct_issue=round(100 * sol_issue / ms, 1)
+                       if ms > 0 else None)
         if note:
             ent["note"] = note
         results["phases"][name] = ent
         print(f"{name:22s} {ms:9.3f} ms  {ent.get('model_MB', '-'):>8} MB  "
               f"{ent.get('achieved_GBps', '-'):>7} GB/s  "
-              f"{ent.get('pct_peak', '-'):>5}% peak  {note}",
+              f"{ent.get('pct_peak', '-'):>5}% peak  "
+              f"{ent.get('pct_issue', '-'):>5}% issue-SoL  {note}",
               file=sys.stderr, flush=True)
         flush()
 
@@ -200,6 +236,59 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             return best
         return (run(k_hi) - run(k_lo)) / (k_hi - k_lo) * 1e3
+
+    # ---- micro phases (--micro: run these then exit) -----------------
+    # pinpoint the residual-vs-jacobian anomaly: element_jacobian (4 AD
+    # passes, no accumulation) measured CHEAPER than one residual
+    # (1 pass + incidence accumulation) — decompose the residual into
+    # gather / corner-math / accumulate to find where the time goes.
+    if "--micro" in sys.argv:
+        globals()["OUT"] = OUT.replace("ROOFLINE.json",
+                                       "ROOFLINE_micro.json")
+        from shakti_tpu.fem import ops as fops
+        dt = jnp.asarray(3600.0, mesh.nodes.dtype)
+        pre = jax.jit(lambda st: res.precompute_step(
+            mesh, st.N, st.b, st.q, st.melt, static, dt, p,
+            cfg.quad_degree))(state)
+        jax.block_until_ready(pre)
+        N0 = state.N
+        Nc0 = jax.jit(lambda N: fops.gather_cells(mesh, N))(N0)
+        contrib = jax.jit(lambda Nc: res.corner_residual(Nc, pre, mesh,
+                                                         p))(Nc0)
+        jax.block_until_ready(contrib)
+        record("m_gather_N", scan_time(
+            lambda x: fops.gather_cells(mesh, N0 + 1e-30 * x[0, 0]), Nc0))
+        record("m_corner", scan_time(
+            lambda cb: res.corner_residual(Nc0 + 1e-30 * cb, pre, mesh, p),
+            contrib))
+        r0 = jax.jit(lambda cb: fops.scatter_add_cells(mesh, cb))(contrib)
+        jax.block_until_ready(r0)
+        record("m_scatter_c3", scan_time(
+            lambda r: fops.scatter_add_cells(
+                mesh, contrib * (1.0 + 1e-30 * r[0])), r0))
+        N3 = jnp.stack([N0, N0, N0], axis=1)
+        Nc3 = jax.jit(lambda Ns: fops.gather_cells(mesh, Ns))(N3)
+        jax.block_until_ready(Nc3)
+        record("m_gather_N3", scan_time(
+            lambda x: fops.gather_cells(mesh, N3 + 1e-30 * x[0, 0, 0]),
+            Nc3))
+        c3 = jnp.stack([contrib] * 3, axis=2)                # (c, 3, 3)
+        r3 = jax.jit(lambda cb: fops.scatter_add_cells(mesh, cb))(c3)
+        jax.block_until_ready(r3)
+        record("m_scatter_c3k3", scan_time(
+            lambda r: fops.scatter_add_cells(
+                mesh, c3 * (1.0 + 1e-30 * r[0, 0])), r3))
+        # per-column variant: 3 independent 1-column assemblies
+        def multi_by_cols(Ns):
+            return jnp.stack([res.assemble_residual(Ns[:, j], pre, mesh, p)
+                              for j in range(3)], axis=1)
+        rc = jax.jit(multi_by_cols)(N3)
+        jax.block_until_ready(rc)
+        record("m_multi3_by_cols", scan_time(
+            lambda r: multi_by_cols(N3 + 1e-30 * r[0, 0]), rc))
+        flush()
+        print(json.dumps({"roofline": OUT, "mode": "micro"}))
+        return 0
 
     # settle one short window so the state is physical (2 steps)
     step = make_step_fn(mesh, static, p, cfg)

@@ -695,16 +695,20 @@ def suite_OV(out, quick, force=False):
       terminus strip where the sheet approximation is meaningless;
       setups/setup_shmip.py VALLEY_B_CAP note)."""
     import oracle.shmip_fv2d as fv2d
-    nx, ny = (60, 16) if quick else (100, 24)
-    years = 3.0 if quick else 5.0
+    nx, ny = (48, 12) if quick else (60, 16)
+    years = 3.0
     ecases = ("E1", "E2", "E3", "E4", "E5")
+    x0 = None
     for case in ecases:
         key = "OV_" + case
         if (key in out and not force) or case not in out:
             continue
         t0 = time.time()
         r = fv2d.valley_steady(shmip.CASES_E[case], nx=nx, ny=ny,
-                               years=years)
+                               years=years, x0=x0)
+        # ladder continuation: warm-start the next (deeper) case from
+        # this steady state — the cold start is most of the march
+        x0 = (r["N2d"], r["b2d"])
         fw = out[case]
         met = {k: v for k, v in r.items()
                if k not in ("N2d", "b2d", "mask", "thick", "xc")}
@@ -733,9 +737,9 @@ def suite_OV(out, quick, force=False):
     if "OV_cap" not in out or force:
         t0 = time.time()
         r1 = fv2d.valley_steady(shmip.CASES_E["E5"], nx=nx, ny=ny,
-                                years=years, b_cap=0.5)
+                                years=years, b_cap=0.5, x0=x0)
         r2 = fv2d.valley_steady(shmip.CASES_E["E5"], nx=nx, ny=ny,
-                                years=years, b_cap=2.0)
+                                years=years, b_cap=2.0, x0=x0)
         interior = r1["mask"] & (r1["thick"] >= 50.0)
         dN = (np.linalg.norm(r1["N2d"][interior] - r2["N2d"][interior])
               / np.linalg.norm(r1["N2d"][interior]))
