@@ -104,8 +104,10 @@ def main():
     from shakti_tpu.physics import residual as res
     from shakti_tpu.solve import krylov
     from shakti_tpu.solve.newton import diag_floor_extra
-    from shakti_tpu.solve.precond import (coarse_inverse,
-                                          two_level_from_inverse)
+    from shakti_tpu.solve.precond import (coarse_from_values,
+                                          coarse_inverse,
+                                          two_level_from_inverse,
+                                          vals_coarse_ok)
     from shakti_tpu.solve.timestep import make_step_fn, run_window
 
     t0 = time.time()
@@ -154,6 +156,7 @@ def main():
         "element_jacobian": 4 * (c * 3) + n * KI,
         "fold": 9 * c,
         "coarse_inverse": 9 * c,
+        "coarse_from_vals": 2 * nnzb,    # row-granular mask gathers
         "precompute": 5 * (c * 3) + n * KI,
         "matvec": nnzb * B,      # x gathered per block-column
         "cg_iter": nnzb * B,
@@ -175,6 +178,8 @@ def main():
         # (zero-init counted once — XLA fuses init+scatter at best)
         "fold": (9 * c * 3) * f4 + nnzb * B * B * f4,
         "coarse_inverse": (9 * c * 3) * f4 + m * m * f4,
+        # stream the folded values once + free-mask row gathers + m^2 out
+        "coarse_from_vals": (nnzb * B * B + 2 * nnzb * B) * f4 + m * m * f4,
         # 5-field fused gather + quad-point products + outputs
         "precompute": n * 5 * f4 + c * 15 * f4 + 6 * c * nq * f4 + geom,
     }
@@ -212,10 +217,13 @@ def main():
         if note:
             ent["note"] = note
         results["phases"][name] = ent
-        print(f"{name:22s} {ms:9.3f} ms  {ent.get('model_MB', '-'):>8} MB  "
-              f"{ent.get('achieved_GBps', '-'):>7} GB/s  "
-              f"{ent.get('pct_peak', '-'):>5}% peak  "
-              f"{ent.get('pct_issue', '-'):>5}% issue-SoL  {note}",
+
+        def _f(v):      # None-safe field formatting (a wedged tunnel can
+            return "-" if v is None else v   # yield ms<=0 -> pct None)
+        print(f"{name:22s} {ms:9.3f} ms  {_f(ent.get('model_MB')):>8} MB  "
+              f"{_f(ent.get('achieved_GBps')):>7} GB/s  "
+              f"{_f(ent.get('pct_peak')):>5}% peak  "
+              f"{_f(ent.get('pct_issue')):>5}% issue-SoL  {note}",
               file=sys.stderr, flush=True)
         flush()
 
@@ -346,6 +354,15 @@ def main():
         lambda A: coarse_inverse(J0 * (1.0 + 1e-30 * A[0, 0]), mesh,
                                  dirichlet, blk), Ainv0, k_lo=2, k_hi=6))
 
+    # ---- coarse inverse rebuilt from folded values (r5 scatter-free path)
+    if vals_coarse_ok(mesh, blk):
+        def cfv_body(cv):
+            v, A = cv
+            return (v, coarse_from_values(v * (1.0 + 1e-30 * A[0, 0]),
+                                          mesh, dirichlet, blk))
+        record("coarse_from_vals",
+               scan_time(cfv_body, (vals0, Ainv0), k_lo=2, k_hi=6))
+
     a_diag = jax.jit(
         lambda v: res.operator_diag_from_values(v, mesh))(vals0)
     extra = jax.jit(lambda ad: diag_floor_extra(
@@ -354,11 +371,15 @@ def main():
     jax.block_until_ready(a_diag)
 
     # ---- operator matvec ----
-    mv = res.operator_from_values(vals0, mesh, dirichlet)
-    matvec = lambda x: mv(x) + extra * x
-    record("matvec", scan_time(
-        lambda x: (lambda y: y / jnp.linalg.norm(y))(matvec(x)), r0,
-        k_lo=2, k_hi=18))
+    # vals0 rides the scan CARRY, not the closure: as a baked constant the
+    # ~1.1 GB values array blows the tunnel's remote-compile request cap
+    # (HTTP 413 — the r4 matvec-phase failure).  The fixed-cost
+    # subtraction in scan_time removes the arg-transfer difference.
+    def mv_body(cv):
+        v, x = cv
+        y = res.operator_from_values(v, mesh, dirichlet)(x) + extra * x
+        return (v, y / jnp.linalg.norm(y))
+    record("matvec", scan_time(mv_body, (vals0, r0), k_lo=2, k_hi=18))
 
     # ---- preconditioner apply ----
     minv = two_level_from_inverse(Ainv0, a_diag, dirichlet, blk, n)
@@ -368,14 +389,17 @@ def main():
 
     # ---- CG per iteration (forced iters, fixed operator) ----
     def cg_k(k):
-        f = jax.jit(lambda r: krylov.pcg(matvec, r, minv, rtol=0.0,
-                                         atol=0.0, maxiter=k)[0])
-        out = f(r0)
+        def run_cg(v, r):
+            mv = res.operator_from_values(v, mesh, dirichlet)
+            return krylov.pcg(lambda x: mv(x) + extra * x, r, minv,
+                              rtol=0.0, atol=0.0, maxiter=k)[0]
+        f = jax.jit(run_cg)         # vals as ARG (not a 1.1 GB constant)
+        out = f(vals0, r0)
         jax.block_until_ready(out)
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            out = f(r0)
+            out = f(vals0, r0)
             jax.block_until_ready(out)
             best = min(best, time.perf_counter() - t0)
         return best
@@ -406,9 +430,10 @@ def main():
         note = ph["full_step"]["note"]
         nm = float(note.split("newton_mean=")[1].split()[0])
         cgm = float(note.split("cg_mean=")[1].split()[0])
+    coarse = ph.get("coarse_from_vals", ph["coarse_inverse"])
     budget = (ph["precompute"]["ms"] + ph["residual_multi3"]["ms"]
               + nm * (ph["element_jacobian"]["ms"] + ph["fold"]["ms"]
-                      + ph["coarse_inverse"]["ms"]
+                      + coarse["ms"]
                       + ph["residual_1"]["ms"])
               + cgm * ph["cg_iter"]["ms"])
     results["derived"] = {

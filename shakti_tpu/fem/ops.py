@@ -78,9 +78,14 @@ def scatter_add_cells(mesh, contrib):
     """
     flat = contrib.reshape((-1,) + contrib.shape[2:])
     if mesh.inc_map is not None and mesh.halo is None and mesh.paxis is None:
-        mask = mesh.inc_mask.reshape(mesh.inc_mask.shape
-                                     + (1,) * (flat.ndim - 1))
-        return jnp.sum(mask * flat[mesh.inc_map], axis=1)
+        if mesh.inc_mask is not None:          # legacy mask-style maps
+            mask = mesh.inc_mask.reshape(mesh.inc_mask.shape
+                                         + (1,) * (flat.ndim - 1))
+            return jnp.sum(mask * flat[mesh.inc_map], axis=1)
+        # sentinel-style map: invalid slots index the appended zero row
+        zero = jnp.zeros((1,) + flat.shape[1:], flat.dtype)
+        ext = jnp.concatenate([flat, zero], axis=0)
+        return jnp.sum(ext[mesh.inc_map], axis=1)
     flat_idx = mesh.cells.reshape(-1)
     out = jax.ops.segment_sum(flat, flat_idx, num_segments=mesh.n_nodes)
     if mesh.halo is not None:

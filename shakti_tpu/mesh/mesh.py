@@ -18,6 +18,7 @@ are pure gathers/segment-sums that XLA fuses into the timestep program.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -66,10 +67,12 @@ class Mesh:
     bcsr_diag_off: Any = None   # (n_nodes,) int32 diagonal offsets
     # Optional node->(cell,corner) incidence map: gather-based (scatter-
     # free) assembly and cell->node averaging (fem/ops.py).  inc_map holds
-    # flat indices into (n_cells*3,) corner arrays; invalid slots point at
-    # a real pair with zero inc_mask weight.
+    # flat indices into (n_cells*3,) corner arrays; invalid slots hold the
+    # sentinel 3*n_cells (the accumulate gathers from a one-zero-extended
+    # array, so no mask is needed).  inc_mask survives only for meshes
+    # built by older code (legacy mask semantics in fem/ops.py).
     inc_map: Any = None         # (n_nodes, KI) int32
-    inc_mask: Any = None        # (n_nodes, KI) float 1/0
+    inc_mask: Any = None        # legacy (n_nodes, KI) float 1/0, or None
     bcsr_B: int | None = dataclasses.field(default=None,
                                            metadata=dict(static=True))
     bcsr_NB: int | None = dataclasses.field(default=None,
@@ -157,11 +160,19 @@ def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
     # node->(cell,corner) incidence (gather-based assembly, fem/ops.py):
     # CSR-style construction, padded ELL layout.  Padding cells (valid=0,
     # all referencing node 0) are excluded so they cannot inflate KI.
-    # Only built for small/medium meshes: it is a kernel-count optimization
-    # for the launch-bound regime, and at 1M+ nodes its ~80 MB of extra
-    # closure constants pushed the remote compile over the tunnel's
-    # request-size cap (HTTP 413) — the segment_sum path serves there.
-    build_inc = nodes.shape[0] <= 200_000
+    # Invalid slots hold the SENTINEL index 3*n_cells: the accumulate
+    # gathers from a one-zero-extended corner array, so no mask constant
+    # is carried at all (the old (n, KI) float mask doubled the closure
+    # bytes and its 0*x product could launder an AD NaN).
+    # Size gate: the map is ~4*KI bytes/node of closure constants; the
+    # default admits the 1M-dof single-chip scale (where it replaces the
+    # ~7 ns/element serialized scatter-add with ~1.4 ns/element gathers —
+    # scripts/ROOFLINE.json r5).  On this host's tunneled TPU very large
+    # remote compile requests can hit an HTTP 413 cap (CLAUDE.md);
+    # SHAKTI_INC_LIMIT=200000 restores the old gate if a full-program
+    # compile trips it.
+    build_inc = nodes.shape[0] <= int(
+        os.environ.get("SHAKTI_INC_LIMIT", "1200000"))
     n = nodes.shape[0]
     inc_map_np = inc_mask_np = None
     if build_inc:
@@ -172,12 +183,10 @@ def build_mesh(nodes: np.ndarray, cells: np.ndarray, dtype=jnp.float64,
         order = np.argsort(flat_nodes, kind="stable")
         counts = np.bincount(flat_nodes, minlength=n)
         KI = int(counts.max()) if counts.size else 0
-        inc_map_np = np.zeros((n, KI), dtype=np.int32)
-        inc_mask_np = np.zeros((n, KI))
+        inc_map_np = np.full((n, KI), 3 * cells.shape[0], dtype=np.int32)
         rank = np.arange(flat_nodes.size) - np.repeat(
             np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
         inc_map_np[flat_nodes[order], rank] = flat_pos[order].astype(np.int32)
-        inc_mask_np[flat_nodes[order], rank] = 1.0
 
     if not build_ell:
         operator = "none"

@@ -335,7 +335,13 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
         # OOM at 1M dof (NewtonConfig.lag_operator scale caveat)
         vals = res.fold_operator_values(J_c, mesh, out=stale_vals)
         a_diag = res.operator_diag_from_values(vals, mesh)
-        A_inv = (pc.coarse_inverse(J_c, mesh, dirichlet, cfg.coarse_block)
+        # prefer the scatter-free vals-based Galerkin coarse build (the
+        # element-scatter fold measured 196 ms at 1M dof, ROOFLINE.json r4)
+        A_inv = ((pc.coarse_from_values(vals, mesh, dirichlet,
+                                        cfg.coarse_block)
+                  if pc.vals_coarse_ok(mesh, cfg.coarse_block)
+                  else pc.coarse_inverse(J_c, mesh, dirichlet,
+                                         cfg.coarse_block))
                  if use_two_level else None)
         return (jnp.asarray(True), jnp.asarray(0, jnp.int32), vals, a_diag,
                 A_inv, floor_b, floor_age_this)
@@ -376,7 +382,16 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
             matvec0 = res.operator_from_values(vals, mesh, dirichlet)
         else:
             J_c = res.element_jacobian(N, pre, mesh, params)
-            matvec0, a_diag = res.make_operator(J_c, mesh, dirichlet)
+            if (mesh.bcsr_brow is not None or mesh.bell_nbr is not None
+                    or mesh.ell_cols is not None):
+                # keep the folded values in scope: the two-level coarse
+                # operator rebuilds from them scatter-free (precond.py)
+                vals = res.fold_operator_values(J_c, mesh)
+                a_diag = res.operator_diag_from_values(vals, mesh)
+                matvec0 = res.operator_from_values(vals, mesh, dirichlet)
+            else:
+                vals = None
+                matvec0, a_diag = res.make_operator(J_c, mesh, dirichlet)
         # regularize degenerate (clamped-sheet) rows: see diag_floor_rel
         extra = diag_floor_extra(a_diag, dirichlet, mesh, cfg.diag_floor_rel)
         matvec = lambda x: matvec0(x) + extra * x
@@ -396,7 +411,8 @@ def newton_solve(N_init, pre, mesh, dirichlet, dirichlet_value, params,
                                        mg_cheb_deg=cfg.mg_cheb_deg,
                                        mg_cheb_frac=cfg.mg_cheb_frac,
                                        mg_cycle=cfg.mg_cycle,
-                                       mg_smooth_p=cfg.mg_smooth_p)
+                                       mg_smooth_p=cfg.mg_smooth_p,
+                                       vals=vals)
         rhs = r                                             # A dN = F (r == masked F)
         dN, lin_info = lin_solve(matvec, rhs, minv,
                                  rtol=cfg.lin_rtol, atol=0.1 * atol_eff,

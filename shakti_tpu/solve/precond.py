@@ -50,6 +50,10 @@ def coarse_inverse(J_c, mesh, dirichlet, block: int = 64):
     map9 = (agg[:, :, None] * m + agg[:, None, :]).reshape(-1)
     flat = (-J_c * w9).reshape(-1)
     A_c = jax.ops.segment_sum(flat, map9, num_segments=m * m).reshape(m, m)
+    return _regularized_inverse(A_c, m, dtype, tiny)
+
+
+def _regularized_inverse(A_c, m, dtype, tiny):
     # regularize empty / fully-constrained aggregates
     dmean = jnp.mean(jnp.abs(jnp.diag(A_c))) + tiny
     A_c = A_c + (1e-8 * dmean) * jnp.eye(m, dtype=dtype)
@@ -58,6 +62,81 @@ def coarse_inverse(J_c, mesh, dirichlet, block: int = 64):
     # sequential ops on TPU — measured slower per apply than inv()'s one-off
     # cost amortized over ~26 CG iterations.)
     return jnp.linalg.inv(A_c)
+
+
+def vals_coarse_ok(mesh, block: int) -> bool:
+    """Can coarse_from_values replace the element-scatter Galerkin fold?
+
+    Needs single-device row storage whose blocks never straddle a coarse
+    aggregate boundary: scalar ELL always qualifies; BCSR/block-ELL when
+    the aggregate size is a multiple of the storage block edge."""
+    if mesh.halo is not None or mesh.paxis is not None:
+        return False
+    # priority mirrors fold_operator_values (bcsr > bell > ell)
+    if mesh.bcsr_brow is not None:
+        return block % int(mesh.bcsr_B) == 0
+    if mesh.bell_nbr is not None:
+        return block % int(mesh.bell_B) == 0
+    return mesh.ell_cols is not None
+
+
+def coarse_from_values(vals, mesh, dirichlet, block: int = 64):
+    """Galerkin coarse operator rebuilt from the FOLDED row-storage values
+    instead of re-scattering the 9c element entries.
+
+    Exactly the same sum as :func:`coarse_inverse` regrouped per stored
+    nonzero: A_c[I,J] = sum of free-masked A entries with row agg I / col
+    agg J, and the fold (physics/residual.fold_operator_values) already
+    accumulated A = -J into row storage (padding slots are zero by
+    construction in all three formats, so including them adds nothing).
+    The element path's per-entry scatter serialized at ~7 ns/element on
+    TPU (196 ms at 1M dof, scripts/ROOFLINE.json r4); here the mask
+    contraction streams the values array contiguously and the scatter
+    shrinks to one entry per stored block (nnzb ~ 273k at 1M dof).
+
+    Bit-for-bit it differs from coarse_inverse only in float summation
+    order (grouped per (row, col) entry before the aggregate sum)."""
+    n = mesh.n_nodes
+    m = -(-n // block)
+    dtype = vals.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    free = (~dirichlet).astype(dtype)
+    # format priority mirrors fold_operator_values (bcsr > bell > ell) so
+    # the vals passed in are always interpreted in the format they were
+    # folded into
+    if mesh.bcsr_brow is not None:
+        B = int(mesh.bcsr_B)
+        NB = int(mesh.bcsr_NB)
+        spb = block // B
+        freep = jnp.pad(free, (0, NB * B - n)).reshape(NB, B)
+        fr = freep[mesh.bcsr_brow]                           # (nnzb, B)
+        fc = freep[mesh.bcsr_bcol]                           # (nnzb, B)
+        # broadcast-sum, NOT einsum: tiny einsums lower to TPU convolution
+        # kernels (CLAUDE.md r2 lesson)
+        s = jnp.sum(vals * fr[:, :, None] * fc[:, None, :], axis=(1, 2))
+        key = (mesh.bcsr_brow // spb) * m + mesh.bcsr_bcol // spb
+        A_c = jax.ops.segment_sum(s, key, num_segments=m * m)
+    elif mesh.bell_nbr is not None:
+        B = int(mesh.bell_B)
+        NBb, KB = mesh.bell_nbr.shape
+        spb = block // B
+        freep = jnp.pad(free, (0, NBb * B - n)).reshape(NBb, B)
+        fc = freep[mesh.bell_nbr]                            # (NB, KB, B)
+        s = jnp.sum(vals * freep[:, None, :, None] * fc[:, :, None, :],
+                    axis=(2, 3))                             # (NB, KB)
+        rowagg = jnp.arange(NBb, dtype=jnp.int32)[:, None] // spb
+        key = (rowagg * m + mesh.bell_nbr // spb).reshape(-1)
+        A_c = jax.ops.segment_sum(s.reshape(-1), key, num_segments=m * m)
+    elif mesh.ell_cols is not None:
+        fc = free[mesh.ell_cols]                             # (n, K)
+        s = vals * free[:, None] * fc
+        rowagg = (jnp.arange(mesh.ell_cols.shape[0],
+                             dtype=jnp.int32)[:, None] // block)
+        key = (rowagg * m + mesh.ell_cols // block).reshape(-1)
+        A_c = jax.ops.segment_sum(s.reshape(-1), key, num_segments=m * m)
+    else:
+        raise ValueError("mesh has no row-storage operator structure")
+    return _regularized_inverse(A_c.reshape(m, m), m, dtype, tiny)
 
 
 def two_level_from_inverse(A_inv, a_diag, dirichlet, block: int, n: int):
@@ -80,13 +159,19 @@ def two_level_from_inverse(A_inv, a_diag, dirichlet, block: int, n: int):
     return apply
 
 
-def make_two_level(J_c, mesh, dirichlet, a_diag, block: int = 64):
+def make_two_level(J_c, mesh, dirichlet, a_diag, block: int = 64,
+                   vals=None):
     """Additive two-level preconditioner for A = -J.
 
     z = D^{-1} r + P (A_c^{-1} (P^T r)),  P = piecewise-constant over
-    contiguous node blocks of ``block`` dofs.
+    contiguous node blocks of ``block`` dofs.  When the caller already
+    holds the folded row-storage ``vals`` the coarse operator is rebuilt
+    from them (scatter-free) instead of re-scattering element entries.
     """
-    A_inv = coarse_inverse(J_c, mesh, dirichlet, block)
+    if vals is not None and vals_coarse_ok(mesh, block):
+        A_inv = coarse_from_values(vals, mesh, dirichlet, block)
+    else:
+        A_inv = coarse_inverse(J_c, mesh, dirichlet, block)
     return two_level_from_inverse(A_inv, a_diag, dirichlet, block,
                                   mesh.n_nodes)
 
@@ -180,7 +265,8 @@ def make_preconditioner(name: str, J_c, mesh, dirichlet, a_diag,
                         coarse_block: int = 64, *, matvec=None,
                         mg_omega: float = 0.8, mg_smoother: str = "jacobi",
                         mg_cheb_deg: int = 2, mg_cheb_frac: float = 0.25,
-                        mg_cycle: str = "v", mg_smooth_p: float = 0.0):
+                        mg_cycle: str = "v", mg_smooth_p: float = 0.0,
+                        vals=None):
     dtype = a_diag.dtype
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     if name == "mg" and mesh.paxis is None:
@@ -206,5 +292,6 @@ def make_preconditioner(name: str, J_c, mesh, dirichlet, a_diag,
                 return make_local_two_level(J_c, mesh, dirichlet, a_diag,
                                             coarse_block)
             return make_jacobi(a_diag, dirichlet, tiny)
-        return make_two_level(J_c, mesh, dirichlet, a_diag, coarse_block)
+        return make_two_level(J_c, mesh, dirichlet, a_diag, coarse_block,
+                              vals=vals)
     return make_jacobi(a_diag, dirichlet, tiny)

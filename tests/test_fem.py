@@ -146,3 +146,49 @@ def test_cell_grad_exact_for_linear_fields():
     g = np.asarray(ops.cell_grad(mesh, f))
     np.testing.assert_allclose(g[:, 0], 2.0, atol=1e-12)
     np.testing.assert_allclose(g[:, 1], -0.5, atol=1e-12)
+
+
+def test_coarse_from_values_matches_element_path():
+    """The scatter-free Galerkin coarse build (precond.coarse_from_values,
+    r5) must reproduce coarse_inverse's element-scatter result in every
+    row-storage format — same sum regrouped per stored nonzero."""
+    from shakti_tpu.solve import precond as pc
+    from shakti_tpu.physics import residual as resm
+
+    nodes, cells = rectangle_mesh(12, 12, 1.0, 1.0, jitter=0.3, seed=11)
+    rng = np.random.default_rng(7)
+    J_c = jnp.asarray(rng.normal(size=(cells.shape[0], 3, 3)))
+    dirichlet = jnp.asarray(nodes[:, 0] < 1e-9)
+    blk = 32
+    for op, B in (("ell", 128), ("bell", 16), ("bcsr", 16)):
+        mesh = build_mesh(nodes, cells, dtype=jnp.float64, operator=op,
+                          bell_block=B)
+        assert pc.vals_coarse_ok(mesh, blk), op
+        vals = resm.fold_operator_values(J_c, mesh)
+        A1 = np.asarray(pc.coarse_inverse(J_c, mesh, dirichlet, blk))
+        A2 = np.asarray(pc.coarse_from_values(vals, mesh, dirichlet, blk))
+        np.testing.assert_allclose(A2, A1, rtol=1e-9, atol=1e-12,
+                                   err_msg=op)
+    # non-divisible aggregate size is refused for block formats
+    mesh = build_mesh(nodes, cells, dtype=jnp.float64, operator="bcsr",
+                      bell_block=16)
+    assert not pc.vals_coarse_ok(mesh, 24)
+
+
+def test_incidence_accumulate_matches_segment_sum(monkeypatch):
+    """Sentinel-style inc_map gather accumulation == the segment_sum path
+    (same sums, scatter-free), for 1-column and k-column contributions."""
+    nodes, cells = rectangle_mesh(9, 9, 1.0, 1.0, jitter=0.4, seed=2)
+    monkeypatch.setenv("SHAKTI_INC_LIMIT", "0")
+    mesh_off = build_mesh(nodes, cells, dtype=jnp.float64)
+    monkeypatch.setenv("SHAKTI_INC_LIMIT", "1000000")
+    mesh_on = build_mesh(nodes, cells, dtype=jnp.float64)
+    assert mesh_off.inc_map is None and mesh_on.inc_map is not None
+    assert mesh_on.inc_mask is None          # sentinel style carries no mask
+    rng = np.random.default_rng(3)
+    c1 = jnp.asarray(rng.normal(size=(cells.shape[0], 3)))
+    ck = jnp.asarray(rng.normal(size=(cells.shape[0], 3, 2)))
+    for contrib in (c1, ck):
+        a = np.asarray(ops.scatter_add_cells(mesh_off, contrib))
+        b = np.asarray(ops.scatter_add_cells(mesh_on, contrib))
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-14)
