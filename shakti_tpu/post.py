@@ -131,6 +131,7 @@ def render_frames(results: dict, out_dir: str, lake_outline=None,
     matplotlib.use("Agg")
     import matplotlib.colors as mcolors
     import matplotlib.pyplot as plt
+    import matplotlib.ticker as mticker
     import matplotlib.tri as mtri
 
     os.makedirs(out_dir, exist_ok=True)
@@ -180,8 +181,12 @@ def render_frames(results: dict, out_dir: str, lake_outline=None,
                                                  norm.vmax),
                                     levels=lv, cmap=cmap, norm=norm,
                                     extend="both")
-            fig.colorbar(tc, ax=ax, label=label, orientation="horizontal",
-                         location="top", fraction=0.08, pad=0.04)
+            cb = fig.colorbar(tc, ax=ax, label=label,
+                              orientation="horizontal", location="top",
+                              fraction=0.08, pad=0.04)
+            if norm is None:        # bound tick count: 21 contour levels
+                cb.ax.xaxis.set_major_locator(   # overlap on narrow panels
+                    mticker.MaxNLocator(5))
             if lake_outline is not None:
                 ax.plot(lake_outline[:, 0] / 1e3, lake_outline[:, 1] / 1e3,
                         "b-", lw=1.5)

@@ -67,16 +67,19 @@ def _regularized_inverse(A_c, m, dtype, tiny):
 def vals_coarse_ok(mesh, block: int) -> bool:
     """Can coarse_from_values replace the element-scatter Galerkin fold?
 
-    Needs single-device row storage whose blocks never straddle a coarse
-    aggregate boundary: scalar ELL always qualifies; BCSR/block-ELL when
-    the aggregate size is a multiple of the storage block edge."""
+    Needs single-device row storage whose blocks tile the coarse
+    aggregates exactly: scalar ELL always qualifies; BCSR/block-ELL when
+    the aggregate size is a multiple of the storage block edge (whole
+    blocks per aggregate) OR divides it (whole sub-tiles per block)."""
     if mesh.halo is not None or mesh.paxis is not None:
         return False
     # priority mirrors fold_operator_values (bcsr > bell > ell)
     if mesh.bcsr_brow is not None:
-        return block % int(mesh.bcsr_B) == 0
+        B = int(mesh.bcsr_B)
+        return block % B == 0 or B % block == 0
     if mesh.bell_nbr is not None:
-        return block % int(mesh.bell_B) == 0
+        B = int(mesh.bell_B)
+        return block % B == 0 or B % block == 0
     return mesh.ell_cols is not None
 
 
@@ -101,32 +104,54 @@ def coarse_from_values(vals, mesh, dirichlet, block: int = 64):
     dtype = vals.dtype
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     free = (~dirichlet).astype(dtype)
+
+    def block_tile(masked, rb, cb, B):
+        """Aggregate sums + flat m*m keys for masked (K, B, B) blocks at
+        block-row/col ids rb/cb.  block % B == 0: whole blocks per
+        aggregate; B % block == 0: (sb, sb) sub-tiles per block (e.g. the
+        bench-scale bell-128 mesh with 64-node aggregates).  Keys of
+        fully-padded tiles (rows beyond n: free-mask zero) are clipped
+        into range — they contribute exact zeros."""
+        K = masked.shape[0]
+        if block % B == 0:
+            spb = block // B
+            s = jnp.sum(masked, axis=(1, 2))                 # (K,)
+            ar, ac = rb // spb, cb // spb
+        else:
+            sb = B // block
+            s = jnp.sum(masked.reshape(K, sb, block, sb, block),
+                        axis=(2, 4)).reshape(K * sb * sb)
+            i = jnp.arange(sb, dtype=jnp.int32)
+            ar = (rb[:, None, None] * sb + i[None, :, None])
+            ac = (cb[:, None, None] * sb + i[None, None, :])
+            ar = jnp.broadcast_to(ar, (K, sb, sb)).reshape(-1)
+            ac = jnp.broadcast_to(ac, (K, sb, sb)).reshape(-1)
+        key = jnp.minimum(ar, m - 1) * m + jnp.minimum(ac, m - 1)
+        return jax.ops.segment_sum(s, key, num_segments=m * m)
+
     # format priority mirrors fold_operator_values (bcsr > bell > ell) so
     # the vals passed in are always interpreted in the format they were
     # folded into
     if mesh.bcsr_brow is not None:
         B = int(mesh.bcsr_B)
         NB = int(mesh.bcsr_NB)
-        spb = block // B
         freep = jnp.pad(free, (0, NB * B - n)).reshape(NB, B)
         fr = freep[mesh.bcsr_brow]                           # (nnzb, B)
         fc = freep[mesh.bcsr_bcol]                           # (nnzb, B)
         # broadcast-sum, NOT einsum: tiny einsums lower to TPU convolution
         # kernels (CLAUDE.md r2 lesson)
-        s = jnp.sum(vals * fr[:, :, None] * fc[:, None, :], axis=(1, 2))
-        key = (mesh.bcsr_brow // spb) * m + mesh.bcsr_bcol // spb
-        A_c = jax.ops.segment_sum(s, key, num_segments=m * m)
+        masked = vals * fr[:, :, None] * fc[:, None, :]
+        A_c = block_tile(masked, mesh.bcsr_brow, mesh.bcsr_bcol, B)
     elif mesh.bell_nbr is not None:
         B = int(mesh.bell_B)
         NBb, KB = mesh.bell_nbr.shape
-        spb = block // B
         freep = jnp.pad(free, (0, NBb * B - n)).reshape(NBb, B)
         fc = freep[mesh.bell_nbr]                            # (NB, KB, B)
-        s = jnp.sum(vals * freep[:, None, :, None] * fc[:, :, None, :],
-                    axis=(2, 3))                             # (NB, KB)
-        rowagg = jnp.arange(NBb, dtype=jnp.int32)[:, None] // spb
-        key = (rowagg * m + mesh.bell_nbr // spb).reshape(-1)
-        A_c = jax.ops.segment_sum(s.reshape(-1), key, num_segments=m * m)
+        masked = (vals * freep[:, None, :, None]
+                  * fc[:, :, None, :]).reshape(NBb * KB, B, B)
+        rb = jnp.broadcast_to(jnp.arange(NBb, dtype=jnp.int32)[:, None],
+                              (NBb, KB)).reshape(-1)
+        A_c = block_tile(masked, rb, mesh.bell_nbr.reshape(-1), B)
     elif mesh.ell_cols is not None:
         fc = free[mesh.ell_cols]                             # (n, K)
         s = vals * free[:, None] * fc

@@ -160,7 +160,10 @@ def test_coarse_from_values_matches_element_path():
     J_c = jnp.asarray(rng.normal(size=(cells.shape[0], 3, 3)))
     dirichlet = jnp.asarray(nodes[:, 0] < 1e-9)
     blk = 32
-    for op, B in (("ell", 128), ("bell", 16), ("bcsr", 16)):
+    # blk % B == 0 (whole blocks per aggregate), B % blk == 0 (the
+    # sub-tile path, e.g. bench-scale bell-128 with 64-node aggregates)
+    for op, B in (("ell", 128), ("bell", 16), ("bcsr", 16),
+                  ("bell", 128), ("bcsr", 64)):
         mesh = build_mesh(nodes, cells, dtype=jnp.float64, operator=op,
                           bell_block=B)
         assert pc.vals_coarse_ok(mesh, blk), op
@@ -168,7 +171,7 @@ def test_coarse_from_values_matches_element_path():
         A1 = np.asarray(pc.coarse_inverse(J_c, mesh, dirichlet, blk))
         A2 = np.asarray(pc.coarse_from_values(vals, mesh, dirichlet, blk))
         np.testing.assert_allclose(A2, A1, rtol=1e-9, atol=1e-12,
-                                   err_msg=op)
+                                   err_msg=f"{op}-B{B}")
     # non-divisible aggregate size is refused for block formats
     mesh = build_mesh(nodes, cells, dtype=jnp.float64, operator="bcsr",
                       bell_block=16)
