@@ -294,6 +294,64 @@ def main():
         jax.block_until_ready(rc)
         record("m_multi3_by_cols", scan_time(
             lambda r: multi_by_cols(N3 + 1e-30 * r[0, 0]), rc))
+
+        # ---- fold variants (BCSR): the element->values scatter is the
+        # dominant per-Newton phase at 1M dof (215 ms, r4) — measure
+        # whether sortedness/uniqueness hints unlock a faster lowering.
+        # The host maps ride the scan carry (args, not constants): 144 MB
+        # of extra baked constants would trip the tunnel's 413 cap.
+        if mesh.bcsr_brow is not None:
+            J0m = jax.jit(lambda N: res.element_jacobian(N, pre, mesh,
+                                                         p))(N0)
+            jax.block_until_ready(J0m)
+            Bb = int(mesh.bcsr_B)
+            nnzbm = int(mesh.bcsr_brow.shape[0])
+            blkm = np.asarray(mesh.bcsr_blk, np.int64)
+            offm = np.asarray(mesh.bcsr_off, np.int64)
+            fslot = blkm * (Bb * Bb) + offm
+            perm = np.argsort(fslot, kind="stable")
+            sl = fslot[perm]
+            uniq, seg0 = np.unique(sl, return_index=True)
+            seg_id = np.zeros(sl.size, np.int32)
+            seg_id[seg0[1:]] = 1
+            seg_id = np.cumsum(seg_id, dtype=np.int32)
+            U = int(uniq.size)
+            args0 = (jnp.asarray(perm.astype(np.int32)),
+                     jnp.asarray((sl // (Bb * Bb)).astype(np.int32)),
+                     jnp.asarray((sl % (Bb * Bb)).astype(np.int32)),
+                     jnp.asarray(seg_id),
+                     jnp.asarray((uniq // (Bb * Bb)).astype(np.int32)),
+                     jnp.asarray((uniq % (Bb * Bb)).astype(np.int32)))
+            print(f"# fold variants: U={U} ({U / sl.size:.2%} unique)",
+                  file=sys.stderr, flush=True)
+
+            v0 = jax.jit(lambda J: res.fold_operator_values(J, mesh))(J0m)
+            jax.block_until_ready(v0)
+            record("m_fold_scatter", scan_time(
+                lambda v: res.fold_operator_values(
+                    J0m * (1.0 + 1e-30 * v[0, 0, 0]), mesh), v0))
+
+            def fold_sorted(carry):
+                v, (pj, bs, os_, sid, ub, uo) = carry
+                flat = (J0m * (1.0 + 1e-30 * v[0, 0, 0])).reshape(-1)[pj]
+                nv = jnp.zeros((nnzbm, Bb * Bb), flat.dtype)
+                nv = nv.at[bs, os_].add(flat, indices_are_sorted=True)
+                return (nv.reshape(nnzbm, Bb, Bb),
+                        (pj, bs, os_, sid, ub, uo))
+            record("m_fold_sorted", scan_time(fold_sorted, (v0, args0)))
+
+            def fold_seg_unique(carry):
+                v, (pj, bs, os_, sid, ub, uo) = carry
+                flat = (J0m * (1.0 + 1e-30 * v[0, 0, 0])).reshape(-1)[pj]
+                u = jax.ops.segment_sum(flat, sid, num_segments=U,
+                                        indices_are_sorted=True)
+                nv = jnp.zeros((nnzbm, Bb * Bb), flat.dtype)
+                nv = nv.at[ub, uo].add(u, indices_are_sorted=True,
+                                       unique_indices=True)
+                return (nv.reshape(nnzbm, Bb, Bb),
+                        (pj, bs, os_, sid, ub, uo))
+            record("m_fold_seg_unique",
+                   scan_time(fold_seg_unique, (v0, args0)))
         flush()
         print(json.dumps({"roofline": OUT, "mode": "micro"}))
         return 0
