@@ -93,6 +93,14 @@ def main():
     do_full = "--full" in sys.argv
     args = [a for a in sys.argv[1:] if a.isdigit()]
     nx = int(args[0]) if args else 1000
+    # --phases a,b,c: measure only the named phases (merging onto the
+    # existing ROOFLINE.json) — each 1M phase program is a multi-hundred-
+    # MB remote-compile upload on this tunnel, so re-measuring only what
+    # a code change touched is the difference between 30 min and 4 h
+    only = None
+    if "--phases" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--phases") + 1].split(","))
+    want = lambda name: only is None or name in only
 
     dev = jax.devices()[0]
     if dev.platform != "tpu" and not allow_cpu:
@@ -370,58 +378,87 @@ def main():
     jax.block_until_ready(pre)
     N0 = state.N
     dirichlet = static.dirichlet
+    if only is not None and os.path.exists(OUT):
+        # merge: keep same-scale phases not being re-measured
+        try:
+            with open(OUT) as f:
+                prior = json.load(f)
+            if prior.get("n_nodes") == n:
+                results["phases"].update(prior.get("phases", {}))
+        except Exception:
+            pass
 
     # ---- precompute: carry the pre pytree itself (forces materialization)
     def body_pre(pr):
         return res.precompute_step(
             mesh, state.N, state.b * (1.0 + 1e-30 * pr.Tq[0, 0]),
             state.q, state.melt, static, dt, p, cfg.quad_degree)
-    record("precompute", scan_time(body_pre, pre))
+    if want("precompute"):
+        record("precompute", scan_time(body_pre, pre))
 
     # ---- residual assemblies ----
-    # pre rides the scan CARRY in these phases: as a closure constant its
-    # ~500 MB of quad-point fields sit just under the tunnel's remote-
-    # compile request cap, and the inc_map constants (r5) pushed the
-    # residual programs over it (HTTP 413)
-    r0 = jax.jit(lambda N: res.assemble_residual(N, pre, mesh, p))(N0)
+    # pre rides the scan CARRY in these phases (and is an ARG of the
+    # one-shot jits): as a closure constant its ~500 MB of quad-point
+    # fields sit just under the tunnel's remote-compile request cap, and
+    # the inc_map constants (r5) pushed the residual programs over it
+    # (HTTP 413); as constants they also make every phase compile a
+    # multi-hundred-MB upload
+    r0 = jax.jit(lambda N, pr: res.assemble_residual(N, pr, mesh, p))(
+        N0, pre)
     jax.block_until_ready(r0)
-    record("residual_1", scan_time(
-        lambda c: (res.assemble_residual(N0 + 1e-30 * c[0], c[1], mesh, p),
-                   c[1]), (r0, pre)))
+    if want("residual_1"):
+        record("residual_1", scan_time(
+            lambda c: (res.assemble_residual(N0 + 1e-30 * c[0], c[1],
+                                             mesh, p), c[1]), (r0, pre)))
 
-    r3 = jax.jit(lambda N: res.assemble_residual_multi(
-        jnp.stack([N, N * (1 + 1e-7), N * (1 - 1e-7)], axis=1),
-        pre, mesh, p))(N0)
-    jax.block_until_ready(r3)
-    record("residual_multi3", scan_time(
-        lambda c: (res.assemble_residual_multi(
-            jnp.stack([N0 + 1e-30 * c[0][:, 0], N0 * (1 + 1e-7),
-                       N0 * (1 - 1e-7)], axis=1), c[1], mesh, p), c[1]),
-        (r3, pre)))
+    if want("residual_multi3"):
+        r3 = jax.jit(lambda N, pr: res.assemble_residual_multi(
+            jnp.stack([N, N * (1 + 1e-7), N * (1 - 1e-7)], axis=1),
+            pr, mesh, p))(N0, pre)
+        jax.block_until_ready(r3)
+        record("residual_multi3", scan_time(
+            lambda c: (res.assemble_residual_multi(
+                jnp.stack([N0 + 1e-30 * c[0][:, 0], N0 * (1 + 1e-7),
+                           N0 * (1 - 1e-7)], axis=1), c[1], mesh, p),
+                c[1]), (r3, pre)))
 
     # ---- element Jacobian (carry J: materialized every iteration) ----
-    J0 = jax.jit(lambda N: res.element_jacobian(N, pre, mesh, p))(N0)
+    J0 = jax.jit(lambda N, pr: res.element_jacobian(N, pr, mesh, p))(
+        N0, pre)
     jax.block_until_ready(J0)
-    record("element_jacobian", scan_time(
-        lambda J: res.element_jacobian(N0 + 1e-30 * J[0, 0, 0], pre,
-                                       mesh, p), J0))
+    if want("element_jacobian"):
+        record("element_jacobian", scan_time(
+            lambda c: (res.element_jacobian(N0 + 1e-30 * c[0][0, 0, 0],
+                                            c[1], mesh, p), c[1]),
+            (J0, pre)))
 
-    # ---- fold (the scatter-add under test; carry vals) ----
-    vals0 = jax.jit(lambda J: res.fold_operator_values(J, mesh))(J0)
-    jax.block_until_ready(vals0)
-    record("fold", scan_time(
-        lambda v: res.fold_operator_values(J0 * (1.0 + 1e-30 * v[0, 0, 0]),
-                                           mesh), vals0))
+    need_vals = only is None or (only & {"fold", "coarse_from_vals",
+                                         "matvec", "pc_apply", "cg_iter"})
+    if need_vals:
+        # ---- fold (the scatter-add under test; carry vals) ----
+        vals0 = jax.jit(lambda J: res.fold_operator_values(J, mesh))(J0)
+        jax.block_until_ready(vals0)
+        if want("fold"):
+            record("fold", scan_time(
+                lambda v: res.fold_operator_values(
+                    J0 * (1.0 + 1e-30 * v[0, 0, 0]), mesh), vals0))
 
     # ---- coarse inverse (two-level PC build) ----
-    Ainv0 = jax.jit(lambda J: coarse_inverse(J, mesh, dirichlet, blk))(J0)
-    jax.block_until_ready(Ainv0)
-    record("coarse_inverse", scan_time(
-        lambda A: coarse_inverse(J0 * (1.0 + 1e-30 * A[0, 0]), mesh,
-                                 dirichlet, blk), Ainv0, k_lo=2, k_hi=6))
+    need_ainv = only is None or (only & {"coarse_inverse",
+                                         "coarse_from_vals", "pc_apply",
+                                         "cg_iter"})
+    if need_ainv:
+        Ainv0 = jax.jit(lambda J: coarse_inverse(J, mesh, dirichlet,
+                                                 blk))(J0)
+        jax.block_until_ready(Ainv0)
+        if want("coarse_inverse"):
+            record("coarse_inverse", scan_time(
+                lambda A: coarse_inverse(J0 * (1.0 + 1e-30 * A[0, 0]),
+                                         mesh, dirichlet, blk),
+                Ainv0, k_lo=2, k_hi=6))
 
     # ---- coarse inverse rebuilt from folded values (r5 scatter-free path)
-    if vals_coarse_ok(mesh, blk):
+    if want("coarse_from_vals") and vals_coarse_ok(mesh, blk):
         def cfv_body(cv):
             v, A = cv
             return (v, coarse_from_values(v * (1.0 + 1e-30 * A[0, 0]),
@@ -429,47 +466,53 @@ def main():
         record("coarse_from_vals",
                scan_time(cfv_body, (vals0, Ainv0), k_lo=2, k_hi=6))
 
-    a_diag = jax.jit(
-        lambda v: res.operator_diag_from_values(v, mesh))(vals0)
-    extra = jax.jit(lambda ad: diag_floor_extra(
-        ad, dirichlet, mesh, cfg.diag_floor_rel))(a_diag)
-    a_diag = a_diag + extra
-    jax.block_until_ready(a_diag)
+    if only is None or (only & {"matvec", "pc_apply", "cg_iter"}):
+        a_diag = jax.jit(
+            lambda v: res.operator_diag_from_values(v, mesh))(vals0)
+        extra = jax.jit(lambda ad: diag_floor_extra(
+            ad, dirichlet, mesh, cfg.diag_floor_rel))(a_diag)
+        a_diag = a_diag + extra
+        jax.block_until_ready(a_diag)
 
-    # ---- operator matvec ----
-    # vals0 rides the scan CARRY, not the closure: as a baked constant the
-    # ~1.1 GB values array blows the tunnel's remote-compile request cap
-    # (HTTP 413 — the r4 matvec-phase failure).  The fixed-cost
-    # subtraction in scan_time removes the arg-transfer difference.
-    def mv_body(cv):
-        v, x = cv
-        y = res.operator_from_values(v, mesh, dirichlet)(x) + extra * x
-        return (v, y / jnp.linalg.norm(y))
-    record("matvec", scan_time(mv_body, (vals0, r0), k_lo=2, k_hi=18))
+        # ---- operator matvec ----
+        # vals0 rides the scan CARRY, not the closure: as a baked constant
+        # the ~1.1 GB values array blows the tunnel's remote-compile
+        # request cap (HTTP 413 — the r4 matvec-phase failure).  The
+        # fixed-cost subtraction in scan_time removes the arg-transfer
+        # difference.
+        def mv_body(cv):
+            v, x = cv
+            y = res.operator_from_values(v, mesh, dirichlet)(x) + extra * x
+            return (v, y / jnp.linalg.norm(y))
+        if want("matvec"):
+            record("matvec", scan_time(mv_body, (vals0, r0),
+                                       k_lo=2, k_hi=18))
 
-    # ---- preconditioner apply ----
-    minv = two_level_from_inverse(Ainv0, a_diag, dirichlet, blk, n)
-    record("pc_apply", scan_time(
-        lambda x: (lambda y: y / jnp.linalg.norm(y))(minv(x)), r0,
-        k_lo=2, k_hi=18))
+        # ---- preconditioner apply ----
+        minv = two_level_from_inverse(Ainv0, a_diag, dirichlet, blk, n)
+        if want("pc_apply"):
+            record("pc_apply", scan_time(
+                lambda x: (lambda y: y / jnp.linalg.norm(y))(minv(x)), r0,
+                k_lo=2, k_hi=18))
 
-    # ---- CG per iteration (forced iters, fixed operator) ----
-    def cg_k(k):
-        def run_cg(v, r):
-            mv = res.operator_from_values(v, mesh, dirichlet)
-            return krylov.pcg(lambda x: mv(x) + extra * x, r, minv,
-                              rtol=0.0, atol=0.0, maxiter=k)[0]
-        f = jax.jit(run_cg)         # vals as ARG (not a 1.1 GB constant)
-        out = f(vals0, r0)
-        jax.block_until_ready(out)
-        best = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
+        # ---- CG per iteration (forced iters, fixed operator) ----
+        def cg_k(k):
+            def run_cg(v, r):
+                mv = res.operator_from_values(v, mesh, dirichlet)
+                return krylov.pcg(lambda x: mv(x) + extra * x, r, minv,
+                                  rtol=0.0, atol=0.0, maxiter=k)[0]
+            f = jax.jit(run_cg)     # vals as ARG (not a 1.1 GB constant)
             out = f(vals0, r0)
             jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        return best
-    record("cg_iter", (cg_k(12) - cg_k(2)) / 10 * 1e3)
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = f(vals0, r0)
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            return best
+        if want("cg_iter"):
+            record("cg_iter", (cg_k(12) - cg_k(2)) / 10 * 1e3)
 
     # ---- full fused step (optional: big compile) ----
     if do_full:
@@ -496,21 +539,26 @@ def main():
         note = ph["full_step"]["note"]
         nm = float(note.split("newton_mean=")[1].split()[0])
         cgm = float(note.split("cg_mean=")[1].split()[0])
-    coarse = ph.get("coarse_from_vals", ph["coarse_inverse"])
-    budget = (ph["precompute"]["ms"] + ph["residual_multi3"]["ms"]
-              + nm * (ph["element_jacobian"]["ms"] + ph["fold"]["ms"]
-                      + coarse["ms"]
-                      + ph["residual_1"]["ms"])
-              + cgm * ph["cg_iter"]["ms"])
-    results["derived"] = {
-        "newton_mean_assumed": nm, "cg_mean_assumed": cgm,
-        "solver_budget_ms": round(budget, 1),
-        "note": "budget excludes the explicit-update tail and launch gaps",
-    }
+    needed = ("precompute", "residual_multi3", "element_jacobian", "fold",
+              "residual_1", "cg_iter")
+    if all(k in ph for k in needed) and (
+            "coarse_from_vals" in ph or "coarse_inverse" in ph):
+        coarse = ph.get("coarse_from_vals", ph.get("coarse_inverse"))
+        budget = (ph["precompute"]["ms"] + ph["residual_multi3"]["ms"]
+                  + nm * (ph["element_jacobian"]["ms"] + ph["fold"]["ms"]
+                          + coarse["ms"]
+                          + ph["residual_1"]["ms"])
+                  + cgm * ph["cg_iter"]["ms"])
+        results["derived"] = {
+            "newton_mean_assumed": nm, "cg_mean_assumed": cgm,
+            "solver_budget_ms": round(budget, 1),
+            "note": "budget excludes the explicit-update tail and launch "
+                    "gaps",
+        }
     flush()
     print(json.dumps({"roofline": OUT,
-                      "solver_budget_ms": results["derived"][
-                          "solver_budget_ms"]}))
+                      "solver_budget_ms": results.get("derived", {}).get(
+                          "solver_budget_ms")}))
     return 0
 
 
