@@ -548,7 +548,7 @@ def suite_O(out, quick, force=False):
                   flush=True)
 
 
-def suite_OT(out, quick, force=False):
+def suite_OT(out, quick, force=False, cases=None):
     """Transient oracle legs (VERDICT r4 item 3): the FV oracle's march
     mode under the SAME time-dependent forcing as suites C (diurnal
     moulin scaling) and D (seasonal degree-day melt), cross-checking the
@@ -576,6 +576,8 @@ def suite_OT(out, quick, force=False):
     base = shmip.CASES_A["A1"]
     for case in ("D1", "D3", "D5"):
         key = "OT_" + case
+        if cases is not None and case not in cases:
+            continue
         if (key in out and not force) or case not in out:
             continue
         dT = shmip.CASES_D[case]
@@ -645,6 +647,8 @@ def suite_OT(out, quick, force=False):
     spin_state = None
     for case in ("C2", "C4"):
         key = "OT_" + case
+        if cases is not None and case not in cases:
+            continue
         if (key in out and not force) or case not in out:
             continue
         if spin_state is None:
@@ -746,6 +750,15 @@ def suite_OV(out, quick, force=False):
             "fw_monotonic": bool(np.all(np.diff(fw_tr) > 0))}
         _save_cache(out)
         print(f"OV_trend: {json.dumps(out['OV_trend'])}", flush=True)
+    # stationarity leg (scripts/valley_stationarity.py writes its result
+    # next to this script; fold it into the cache so the renderer sees it)
+    stat_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "valley_stationarity.json")
+    if os.path.exists(stat_path) and (
+            "OV_stationarity" not in out or force):
+        with open(stat_path) as f:
+            out["OV_stationarity"] = json.load(f)
+        _save_cache(out)
     # cap sensitivity: E5 with the cap relaxed 0.5 -> 2 m
     if "OV_cap" not in out or force:
         t0 = time.time()
@@ -1204,8 +1217,12 @@ def build_md(out):
                         f"| {m['N_summer_min_MPa']:.3f} "
                         f"| {m['fw_N_summer_min_MPa']:.3f} "
                         f"| {'yes' if m['summer_sign_agrees'] else 'NO'} |")
-        if any(("OV_" + c) in out for c in
-               ("E1", "E2", "E3", "E4", "E5")):
+        ov_rows = [("OV_" + c, out["OV_" + c])
+                   for c in ("E1", "E2", "E3", "E4", "E5")
+                   if ("OV_" + c) in out]
+        ov_diverged = any(m["rate_b_yr"] > 5.0 or m["imbalance"] > 1.0
+                          for _, m in ov_rows)
+        if ov_rows and not ov_diverged:
             lines += [
                 "",
                 "Valley leg — the FV oracle on a masked variable-geometry",
@@ -1223,11 +1240,8 @@ def build_md(out):
                 "FV imbalance | FV rate_b [1/yr] |",
                 "|---|---|---|---|---|---|---|---|---|",
             ]
-            for c in ("E1", "E2", "E3", "E4", "E5"):
-                k = "OV_" + c
-                if k not in out:
-                    continue
-                m = out[k]
+            for c_name, m in ov_rows:
+                c = c_name[3:]
                 lines.append(
                     f"| {c} | {m['para']:+.2f} | {m['N_trough_MPa']:.3f} "
                     f"| {m['fw_N_trough_MPa']:.3f} "
@@ -1254,6 +1268,52 @@ def build_md(out):
                     f"{cc['frac_cap_05']:.3f} vs {cc['frac_cap_20']:.3f}); "
                     f"the certified interior state does not move.",
                 ]
+        elif ov_rows:
+            # the valley FV leg DIVERGES from the framework — report the
+            # negative result honestly instead of a fake validation table
+            e1 = dict(ov_rows)["OV_E1"] if "OV_E1" in dict(ov_rows) else \
+                ov_rows[0][1]
+            st = out.get("OV_stationarity")
+            lines += [
+                "",
+                "Valley leg — **negative result (disagreement found)**.",
+                "The FV oracle's masked variable-geometry march does NOT",
+                "reproduce the framework's valley states: from the SHMIP",
+                "cold start (b0 = 1 cm, the framework's own init) the FV",
+                "gap runs away to the VALLEY_B_CAP branch",
+                f"(E1 at 48x12: capped-cell fraction "
+                f"{e1['frac_cap']:.2f}, gap rate {e1['rate_b_yr']:.0f}/yr "
+                f"after {e1['t_years']:.1f} yr, terminus discharge "
+                f"{e1['Q_out']:.0f} vs source {e1['Q_src']:.1f} m^3/s),",
+                "where the 75 m FEM transient converges to the mm-scale",
+                "sheet (suite E table above).",
+            ]
+            if st is not None:
+                lines += [
+                    "The decisive check "
+                    "(`scripts/valley_stationarity.py`): the framework's",
+                    "converged E1 state interpolated onto the FV grid is",
+                    "NOT stationary under the FV dynamics — trough gap",
+                    f"{st['fem_b_trough_mm']:.1f} mm -> "
+                    f"{st['fv_b_trough_mm_end']:.0f} mm in "
+                    f"{st['years_marched']:.1f} yr (capped fraction "
+                    f"{st['frac_cap_start']:.2f} -> "
+                    f"{st['frac_cap_end']:.2f}).",
+                ]
+            lines += [
+                "The FV capped branch fails its own global energy",
+                "budget: routing Q_src through the valley's ~200 m head",
+                "drop releases at most ~rho_w g Q dh / L ~ 0.04 m^3/s of",
+                "dissipation melt, two orders below the discharge excess",
+                "it reports — the runaway is an artifact of the FV leg's",
+                "coarse masked grid (margin-strip head drops enter the",
+                "cell-centered dissipation at half-cell resolution), not",
+                "a physical branch.  Suites E/F therefore remain",
+                "single-implementation validated (conservation + the",
+                "certified frozen-field budget + monotone trend above);",
+                "an oracle-grade valley cross-check needs a boundary-",
+                "fitted independent discretization, recorded as open.",
+            ]
     if "B5" in out:
         lines += [
             "",
@@ -1497,7 +1557,7 @@ def main(quick=False, suites="ABCDEF", force=False, cases=None,
         suite_O(out, quick, force=force)
     if "T" in suites:
         # transient oracle legs (needs suites C/D framework rows cached)
-        suite_OT(out, quick, force=force)
+        suite_OT(out, quick, force=force, cases=cases)
     if "V" in suites:
         # valley oracle leg (needs suite E framework rows cached)
         suite_OV(out, quick, force=force)
