@@ -299,7 +299,7 @@ def main():
         def multi_by_cols(Ns, pr):
             return jnp.stack([res.assemble_residual(Ns[:, j], pr, mesh, p)
                               for j in range(3)], axis=1)
-        rc = jax.jit(lambda Ns: multi_by_cols(Ns, pre))(N3)
+        rc = jax.jit(multi_by_cols)(N3, pre)   # pre as ARG (413 cap)
         jax.block_until_ready(rc)
         record("m_multi3_by_cols", scan_time(
             lambda c: (multi_by_cols(N3 + 1e-30 * c[0][0, 0], c[1]), c[1]),
@@ -311,8 +311,8 @@ def main():
         # The host maps ride the scan carry (args, not constants): 144 MB
         # of extra baked constants would trip the tunnel's 413 cap.
         if mesh.bcsr_brow is not None:
-            J0m = jax.jit(lambda N: res.element_jacobian(N, pre, mesh,
-                                                         p))(N0)
+            J0m = jax.jit(lambda N, pr: res.element_jacobian(
+                N, pr, mesh, p))(N0, pre)      # pre as ARG (413 cap)
             jax.block_until_ready(J0m)
             Bb = int(mesh.bcsr_B)
             nnzbm = int(mesh.bcsr_brow.shape[0])

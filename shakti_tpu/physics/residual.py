@@ -172,6 +172,46 @@ def assemble_residual(N, pre: StepPre, mesh, params: PhysicalParams):
     return ops.scatter_add_cells(mesh, corner_residual(N_c, pre, mesh, params))
 
 
+def corner_residual_multi(N_ck, pre: StepPre, mesh,
+                          params: PhysicalParams):
+    """:func:`corner_residual` hand-batched over a trailing column axis:
+    N_ck (c, 3, k) -> (c, 3, k).
+
+    NOT a vmap: on TPU at 1M dof the vmapped corner physics measured
+    359 ms for k=3 vs 105 ms for one column, while the batched gather /
+    accumulate building blocks cost the SAME as single-column (gathers
+    are ~7 ns per INDEX with payload columns riding along; scatter/
+    accumulate likewise — scripts/ROOFLINE_micro.json r5).  Trailing-dim
+    broadcasts keep every reduction's shape and order identical to the
+    single-column code per k-slice, so each column is bit-identical to
+    :func:`corner_residual` (tests/test_fem.py)."""
+    p = params
+    N_dev = N_ck - jnp.mean(N_ck, axis=1, keepdims=True)        # (c, 3, k)
+    grad_N = jnp.sum(N_dev[:, :, None, :] * mesh.grads[:, :, :, None],
+                     axis=1)                                    # (c, 2, k)
+    grad_h = pre.gb0[:, :, None] - grad_N / (p.rho_w * p.g)     # (c, 2, k)
+    flux_q = -pre.Tq[:, :, None, None] * grad_h[:, None, :, :]  # (c,nq,2,k)
+    qdgh = jnp.sum(pre.q_q[:, :, :, None] * grad_h[:, None, :, :],
+                   axis=2)                                      # (c, nq, k)
+    m_q = ((pre.G_q[:, :, None] - p.rho_w * p.g * qdgh) / p.Lh
+           + pre.mdiff_q[:, :, None])
+    N_q = jnp.sum(pre.phi[None, :, :, None] * N_ck[:, None, :, :],
+                  axis=2)                                       # (c, nq, k)
+    C_q = law.closure(pre.b_q[:, :, None], N_q, p)
+    c_m = 1.0 / p.rho_i - 1.0 / p.rho_w
+    lake_q = (pre.storage_q[:, :, None] * (N_q - pre.Nn_q[:, :, None])
+              / (p.rho_w * p.g * pre.dt))
+    src_q = c_m * m_q - C_q - lake_q - pre.inputs_q[:, :, None]
+    w_cell = mesh.area * mesh.cell_valid
+    term_flux = -jnp.sum(
+        pre.wq[None, :, None, None, None] * flux_q[:, :, None, :, :]
+        * mesh.grads[:, None, :, :, None], axis=(1, 3))         # (c, 3, k)
+    term_src = jnp.sum(
+        (pre.wq[:, None] * pre.phi)[None, :, :, None]
+        * src_q[:, :, None, :], axis=1)                         # (c, 3, k)
+    return w_cell[:, None, None] * (term_flux + term_src)
+
+
 def assemble_residual_multi(Ns, pre: StepPre, mesh, params: PhysicalParams):
     """Residuals for k stacked states at once: (n, k) -> (n, k).
 
@@ -179,9 +219,8 @@ def assemble_residual_multi(Ns, pre: StepPre, mesh, params: PhysicalParams):
     the residual and its roundoff-sensitivity probe in one pass.
     """
     sc = ops.gather_cells(mesh, Ns)                              # (c, 3, k)
-    f = jax.vmap(lambda Nc: corner_residual(Nc, pre, mesh, params),
-                 in_axes=2, out_axes=2)
-    return ops.scatter_add_cells(mesh, f(sc))                    # (n, k)
+    return ops.scatter_add_cells(
+        mesh, corner_residual_multi(sc, pre, mesh, params))      # (n, k)
 
 
 def element_jacobian(N, pre: StepPre, mesh, params: PhysicalParams):

@@ -195,3 +195,32 @@ def test_incidence_accumulate_matches_segment_sum(monkeypatch):
         a = np.asarray(ops.scatter_add_cells(mesh_off, contrib))
         b = np.asarray(ops.scatter_add_cells(mesh_on, contrib))
         np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-14)
+
+
+def test_residual_multi_columns_bitexact_vs_single():
+    """assemble_residual_multi (hand-batched trailing-k corner physics,
+    r5 — NOT a vmap, see corner_residual_multi docstring) must reproduce
+    each column of assemble_residual bit-for-bit: every reduction keeps
+    the single-column shape/order per k-slice."""
+    nodes, cells = rectangle_mesh(5, 4, 1.0, 0.8, jitter=0.2, seed=7)
+    mesh = build_mesh(nodes, cells, dtype=jnp.float64)
+    n = nodes.shape[0]
+    p = DEFAULT_PARAMS
+    rng = np.random.default_rng(11)
+    static = make_static_fields(
+        mesh, rng.normal(size=n), rng.normal(size=n) + 500,
+        np.full(n, 0.05), np.zeros(n), np.ones(n),
+        np.zeros(n, dtype=bool), 0.0, 1e-5, p)
+    pre = res.precompute_step(
+        mesh, jnp.asarray(1e5 + 1e4 * rng.normal(size=n)),
+        jnp.asarray(np.abs(1e-3 + 1e-4 * rng.normal(size=n))),
+        jnp.asarray(1e-4 * rng.normal(size=(n, 2))),
+        jnp.asarray(1e-7 * np.abs(rng.normal(size=n))),
+        static, jnp.asarray(3600.0), p, quad_degree=4)
+    cols = [1e5 + 1e4 * rng.normal(size=n) for _ in range(3)]
+    Ns = jnp.asarray(np.stack(cols, axis=1))
+    multi = np.asarray(res.assemble_residual_multi(Ns, pre, mesh, p))
+    for k in range(3):
+        single = np.asarray(res.assemble_residual(Ns[:, k], pre, mesh, p))
+        np.testing.assert_array_equal(multi[:, k], single,
+                                      err_msg=f"column {k}")
